@@ -1,0 +1,421 @@
+"""MerlotReserve: the five towers + multimodal fusion + zero-shot API.
+
+Capability parity with /root/reference/mreserve/modeling.py:581-1032, with one
+structural redesign: ``prepare_multimodal_inputs`` emits per-position
+``(is_valid, segment_ids)`` label vectors instead of a dense [B, L, L]
+attention mask. The packed-video block-diagonal masking
+(modeling.py:746-756) and padding masking both factor through those labels,
+which is exactly the form the Pallas flash-attention kernel consumes — no
+quadratic mask tensor is materialized anywhere on the fast path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from merlot_reserve_tpu.config import MerlotConfig, ModelConfig, load_config
+from merlot_reserve_tpu.models.layers import TransformerEncoder, kernel_init
+from merlot_reserve_tpu.models.towers import (
+    AudioTransformer,
+    SpanTransformer,
+    TokenEmbedder,
+    VisionTransformer,
+)
+from merlot_reserve_tpu.ops import rotary as rotary_ops
+from merlot_reserve_tpu.ops.pooling import unit_normalize
+from merlot_reserve_tpu.tokenizer import AUDIOSPAN, PADDING
+
+
+class MerlotReserve(nn.Module):
+    """Base module owning the towers; task heads subclass and define __call__."""
+
+    config: ModelConfig
+    data: Any = None  # DataConfig for pretraining subclasses
+
+    @classmethod
+    def from_config(cls, config: MerlotConfig, **kwargs):
+        return cls(config=config.model, data=config.data, **kwargs)
+
+    def setup(self):
+        cfg = self.config
+        self.dtype = jnp.bfloat16 if cfg.use_bfloat16 else jnp.float32
+        self.hidden_size = cfg.hidden_size
+        self.output_grid_h, self.output_grid_w = cfg.output_grid
+        self.audio_token_length = cfg.audio_token_length
+        self.audio_seq_length = cfg.audio_seq_length
+
+        common = dict(
+            dtype=self.dtype,
+            size_per_head=cfg.size_per_head,
+            attention_impl=cfg.attention_impl,
+            rotary_sign_quirk=cfg.rotary_sign_quirk,
+        )
+        self.vision_encoder = VisionTransformer(
+            num_layers=cfg.vit_num_layers,
+            patch_size=cfg.vit_patch_size,
+            pooling_ratio=cfg.vit_pooling_ratio,
+            output_grid_h=self.output_grid_h,
+            output_grid_w=self.output_grid_w,
+            hidden_size=cfg.hidden_size,
+            do_rotary=cfg.do_rotary,
+            **common,
+        )
+        self.audio_encoder = AudioTransformer(
+            num_layers=cfg.audio_num_layers,
+            patch_size=cfg.audio_patch_size,
+            pooling_ratio=cfg.audio_pooling_ratio,
+            hidden_size=cfg.hidden_size,
+            do_rotary=cfg.do_rotary,
+            **common,
+        )
+        self.token_encoder = TokenEmbedder(
+            hidden_size=cfg.hidden_size, vocab_size=cfg.vocab_size, dtype=self.dtype)
+        self.span_encoder = SpanTransformer(
+            num_layers=cfg.span_num_layers,
+            hidden_size=cfg.hidden_size,
+            max_len=cfg.text_span_length + 1,
+            do_rotary=cfg.do_rotary,
+            **common,
+        )
+        self.joint_transformer = TransformerEncoder(
+            hidden_size=cfg.hidden_size,
+            num_layers=cfg.joint_num_layers,
+            add_cls_token=False,
+            remat=cfg.gradient_checkpoint,
+            **common,
+        )
+        self.joint_proj = nn.Dense(features=cfg.hidden_size, dtype=self.dtype,
+                                   kernel_init=kernel_init, name="head")
+        self.scale_params = self.param("contrastive_scales", nn.initializers.ones, (3,))
+
+    # ------------------------------------------------------------------
+    # fusion
+    # ------------------------------------------------------------------
+
+    def prepare_multimodal_inputs(self, tokens, token_segment_idx=None, token_embs=None,
+                                  vision_input=None, audio_spans=None, audio_pointers=None,
+                                  padding_len=None, video_src_idx=None) -> Dict[str, Any]:
+        """Assemble the joint-transformer input stream.
+
+        Matches the fusion contract of modeling.py:651-758: AUDIOSPAN tokens
+        are replaced by consecutive pooled audio tokens selected by
+        ``audio_pointers``; text gets (segment, token) rotary coords and
+        vision gets (segment, h, w); packed videos are isolated through
+        ``video_src_idx``.
+
+        :return: {'x': [B, L', H], 'rotary_coords': [B, L', 4],
+                  'is_valid': [B, L'] bool, 'segment_ids': [B, L'] int32}
+        """
+        B, L = tokens.shape
+        if token_embs is None:
+            token_embs = self.token_encoder({"k": tokens})["k"]
+
+        if audio_spans is not None and audio_pointers is not None:
+            b_, num_audio_seqs, audio_token_length, _h = audio_spans.shape
+            assert b_ == B and audio_token_length == self.audio_token_length
+
+            is_audio_src = tokens == AUDIOSPAN
+            audio_ptr = jnp.maximum(audio_pointers, 0)
+            # position within the 6-token audio span: running count of
+            # AUDIOSPAN tokens mod span length (modeling.py:685-695)
+            audio_subpos = jnp.maximum(
+                jnp.cumsum(is_audio_src.astype(jnp.int32), -1) - 1, 0
+            ) % self.audio_token_length
+            audio_embs = audio_spans[
+                jnp.arange(B, dtype=jnp.int32)[:, None], audio_ptr, audio_subpos]
+            token_embs = jnp.where(is_audio_src[..., None], audio_embs, token_embs)
+
+        token_idx = jnp.tile(1.0 + jnp.arange(L, dtype=self.dtype)[None], [B, 1])
+        coords = rotary_ops.multimodal_rotary_coords(
+            segment_idx=token_segment_idx.astype(self.dtype)
+            if token_segment_idx is not None else None,
+            token_idx=token_idx, dtype=self.dtype)
+
+        if vision_input is not None:
+            hpool = self.output_grid_h // self.config.vit_pooling_ratio
+            wpool = self.output_grid_w // self.config.vit_pooling_ratio
+            img_coords_pool = rotary_ops.get_rotary_coordinates_2d(
+                hpool, wpool, dtype=self.dtype)
+
+            _b, vis_seq_len, _h = vision_input.shape
+            num_pool_segments = vis_seq_len // (hpool * wpool)
+            img_coords = jnp.tile(img_coords_pool, [num_pool_segments, 1])
+            vis_segment_idx = jnp.arange(num_pool_segments, dtype=jnp.int32).repeat(hpool * wpool)
+            img_coords = jnp.tile(img_coords[None], [B, 1, 1])
+            vis_segment_idx = jnp.tile(vis_segment_idx[None], [B, 1])
+            img_mm_coords = rotary_ops.multimodal_rotary_coords(
+                segment_idx=vis_segment_idx.astype(self.dtype),
+                h=img_coords[..., 0], w=img_coords[..., 1], dtype=self.dtype)
+            coords = jnp.concatenate([coords, img_mm_coords], 1)
+            token_embs = jnp.concatenate([token_embs, vision_input], 1)
+        else:
+            vis_seq_len = 0
+            vis_segment_idx = None
+
+        is_valid = tokens != PADDING
+        if vis_seq_len > 0:
+            is_valid = jnp.concatenate(
+                [is_valid, jnp.ones([B, vis_seq_len], dtype=is_valid.dtype)], 1)
+
+        if padding_len is not None:
+            extra_len = padding_len - is_valid.shape[1]
+            assert extra_len >= 0
+            if extra_len > 0:
+                is_valid = jnp.concatenate(
+                    [is_valid, jnp.zeros([B, extra_len], dtype=is_valid.dtype)], 1)
+                coords = jnp.concatenate(
+                    [coords, jnp.zeros([B, extra_len, 4], dtype=coords.dtype)], 1)
+                token_embs = jnp.concatenate(
+                    [token_embs,
+                     jnp.zeros([B, extra_len, self.hidden_size], dtype=token_embs.dtype)], 1)
+        else:
+            extra_len = 0
+
+        # block-diagonal packing as per-position labels (cf. modeling.py:746-756)
+        if (video_src_idx is not None) and (token_segment_idx is not None):
+            batch_indexer = jnp.arange(B, dtype=jnp.int32)[:, None]
+            segs = [video_src_idx[batch_indexer, token_segment_idx]]
+            if vis_segment_idx is not None:
+                segs.append(video_src_idx[batch_indexer, vis_segment_idx])
+            if extra_len > 0:
+                segs.append(jnp.full([B, extra_len], -1, dtype=jnp.int32))
+            segment_ids = jnp.concatenate(segs, -1)
+        else:
+            segment_ids = jnp.zeros(is_valid.shape, dtype=jnp.int32)
+
+        return {"x": token_embs, "rotary_coords": coords,
+                "is_valid": is_valid, "segment_ids": segment_ids}
+
+    def __call__(self, batch):
+        raise NotImplementedError()
+
+    # ------------------------------------------------------------------
+    # zero-shot API (modeling.py:763-931)
+    # ------------------------------------------------------------------
+
+    def embed_text_spans_only(self, text_spans):
+        """[B, L] span tokens -> [B, H] unit-normalized span embeddings."""
+        token_embs = self.token_encoder({"text_spans": text_spans})["text_spans"]
+        return unit_normalize(
+            self.span_encoder(x=token_embs, x_isvalid=text_spans != PADDING))
+
+    def embed_audio_only(self, audio_clips):
+        """[*batch, num_hops, 65] -> [*batch, H] unit-normalized audio CLS."""
+        *batch_dims, _hops, _mels = audio_clips.shape
+        enc = self.audio_encoder(audio_clips.reshape((-1, self.audio_seq_length, 65)))["cls"]
+        return unit_normalize(enc).reshape(*batch_dims, self.hidden_size)
+
+    def get_imgseq_only(self, imgs):
+        """[*batch, P, 768] pre-patchified -> [*batch, P/4, H] pooled tokens."""
+        *batch_dims, num_patch, pp3 = imgs.shape
+        enc = self.vision_encoder(imgs.reshape((-1, num_patch, pp3)))["seq_attnpool"]
+        return enc.reshape(list(batch_dims) + [num_patch // 4, self.hidden_size])
+
+    def get_audioseq_only(self, audio_clips):
+        return self.audio_encoder(
+            audio_clips.reshape((-1, self.audio_seq_length, 65)))["seq_attnpool"]
+
+    def embed_video(self, images, audio_clips, tokens, subseg_idxs):
+        """Joint encoding of one video (modeling.py:806-843).
+
+        :param images: [num_segments, num_patch_per_img, 768] pre-patchified
+        :param audio_clips: [3*num_segments, num_hops, 65]
+        :param tokens: [L] (AUDIOSPAN marks audio-filled positions)
+        :param subseg_idxs: [L] subsegment index per token
+        :return: [L, H] unit-normalized joint projections
+        """
+        num_segments, num_patch_per_img, pp3 = images.shape
+        num_subsegments, num_hops, num_mels_plus_one = audio_clips.shape
+        assert num_subsegments == 3 * num_segments
+        assert num_hops == self.audio_seq_length
+        assert num_mels_plus_one == 65
+        (token_length,) = tokens.shape
+        assert subseg_idxs.shape == (token_length,)
+
+        imgs_enc = self.vision_encoder(
+            images.reshape((-1, num_patch_per_img, pp3)))["seq_attnpool"]
+        imgs_enc = imgs_enc.reshape((num_segments * num_patch_per_img // 4, self.hidden_size))
+        audio_enc = self.audio_encoder(
+            audio_clips.reshape((-1, self.audio_seq_length, 65)))["seq_attnpool"]
+
+        mm_inputs = self.prepare_multimodal_inputs(
+            tokens=tokens[None],
+            token_segment_idx=subseg_idxs[None] // 3,
+            vision_input=imgs_enc[None],
+            audio_pointers=subseg_idxs[None],
+            audio_spans=audio_enc[None],
+        )
+        joint_enc = self._run_joint(mm_inputs)["seq"]
+        return unit_normalize(self.joint_proj(joint_enc[0, :token_length]))
+
+    def batch_embed_video(self, images, audio_clips, tokens, subseg_idxs):
+        return jax.vmap(self.embed_video)(images, audio_clips, tokens, subseg_idxs)
+
+    def embed_singleimg_with_multiimg_prompt(self, images_prompt, images, tokens, subseg_idxs):
+        """Precomputed image prefix + new images, no audio (modeling.py:848-878)."""
+        ns0 = images_prompt.shape[0]
+        ns1, num_patch_per_img, _pp3 = images.shape
+        assert (ns0 + ns1) <= 8
+        imgs_enc = self.vision_encoder(images)["seq_attnpool"]
+        imgs_enc = jnp.concatenate([images_prompt, imgs_enc], 0)
+        imgs_enc = imgs_enc.reshape(((ns0 + ns1) * num_patch_per_img // 4, self.hidden_size))
+
+        (token_length,) = tokens.shape
+        mm_inputs = self.prepare_multimodal_inputs(
+            tokens=tokens[None], token_segment_idx=subseg_idxs[None] // 3,
+            vision_input=imgs_enc[None])
+        joint_enc = self._run_joint(mm_inputs)["seq"]
+        return unit_normalize(self.joint_proj(joint_enc[0, :token_length]))
+
+    def embed_preencoded_noaudio(self, images_enc, tokens, subseg_idxs):
+        ns, npp4, hidden_size = images_enc.shape
+        images_enc = images_enc.reshape([ns * npp4, hidden_size])
+        (token_length,) = tokens.shape
+        mm_inputs = self.prepare_multimodal_inputs(
+            tokens=tokens[None], token_segment_idx=subseg_idxs[None] // 3,
+            vision_input=images_enc[None])
+        joint_enc = self._run_joint(mm_inputs)["seq"]
+        return unit_normalize(self.joint_proj(joint_enc[0, :token_length]))
+
+    def embed_preencoded_audio(self, images_enc, audio_enc, tokens, subseg_idxs, audio_pointers):
+        (token_length,) = tokens.shape
+        images_enc = images_enc.reshape([-1, self.hidden_size])
+        mm_inputs = self.prepare_multimodal_inputs(
+            tokens=tokens[None], token_segment_idx=subseg_idxs[None] // 3,
+            vision_input=images_enc[None], audio_pointers=audio_pointers[None],
+            audio_spans=audio_enc[None])
+        joint_enc = self._run_joint(mm_inputs)["seq"]
+        return unit_normalize(self.joint_proj(joint_enc[0, :token_length]))
+
+    def _run_joint(self, mm_inputs):
+        return self.joint_transformer(
+            mm_inputs["x"],
+            rotary_coords=mm_inputs["rotary_coords"] if self.config.do_rotary else None,
+            is_valid=mm_inputs["is_valid"],
+            segment_ids=mm_inputs["segment_ids"])
+
+    def init_params(self, dummy_batch, seed: int = 0, method=None):
+        """CPU-jitted init from one example of each batch field
+        (cf. modeling.py:636-649). ``method`` picks the forward used for
+        shape inference (defaults to __call__; base-model users pass e.g.
+        ``"embed_video"`` with the matching kwargs as dummy_batch)."""
+        if isinstance(method, str):
+            method = getattr(type(self), method)
+
+        def init_model():
+            key = jax.random.PRNGKey(seed)
+            if method is None:
+                dummy = {k: jnp.asarray(v[0, None]) for k, v in dummy_batch.items()}
+                return self.init(key, dummy)
+            return self.init(key, **{k: jnp.asarray(v) for k, v in dummy_batch.items()},
+                             method=method)
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            params = jax.jit(init_model)()["params"]
+        from merlot_reserve_tpu.utils.checkpoint import bf16_to_f32
+        return bf16_to_f32(params)
+
+
+@dataclass
+class PretrainedMerlotReserve:
+    """User-facing inference wrapper: jits model methods with params bound,
+    mirroring modeling.py:933-1032."""
+
+    encoder: Any
+    params: Dict
+    model: MerlotReserve
+    _method_cache: Optional[Dict] = None
+
+    _CKPT_NAMES = {
+        ("base", (12, 20)): "base",
+        ("large", (12, 20)): "large",
+        ("base", (18, 32)): "base_resadapt",
+        ("large", (18, 32)): "large_resadapt",
+        ("base", (24, 24)): "base_resadapt",
+        ("large", (24, 24)): "large_resadapt",
+    }
+
+    @classmethod
+    def from_pretrained(cls, model_name: str, image_grid_size=(18, 32), cache_dir=None):
+        """Load a public checkpoint (downloads from gs://merlotreserve/ckpts)."""
+        import os
+
+        from merlot_reserve_tpu.tokenizer import get_tokenizer
+        from merlot_reserve_tpu.utils.checkpoint import load_checkpoint
+
+        if model_name not in ("base", "large"):
+            raise ValueError("model_name must be 'base' or 'large'")
+        image_grid_size = tuple(image_grid_size)
+        if (model_name, image_grid_size) not in cls._CKPT_NAMES:
+            raise ValueError(f"invalid grid size {image_grid_size}")
+        param_fn = cls._CKPT_NAMES[(model_name, image_grid_size)]
+
+        cache_dir = cache_dir or os.path.join(os.path.expanduser("~"), ".cache",
+                                              "merlotreserve")
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_path = os.path.join(cache_dir, param_fn)
+        if not os.path.exists(cache_path):
+            _download_ckpt(param_fn, cache_path)
+
+        params = load_checkpoint(cache_path)["params"]
+        return cls.from_params(model_name, params, image_grid_size)
+
+    @classmethod
+    def from_params(cls, model_name: str, params: Dict, image_grid_size=(12, 20)):
+        from merlot_reserve_tpu.tokenizer import get_tokenizer
+
+        is_on_tpu = any(d.platform == "tpu" for d in jax.local_devices())
+        cfg = load_config(model_name,
+                          output_grid=tuple(image_grid_size),
+                          use_bfloat16=is_on_tpu)
+        model = MerlotReserve.from_config(cfg)
+        return cls(model=model, params=params, encoder=get_tokenizer())
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if self._method_cache is None:
+            object.__setattr__(self, "_method_cache", {})
+        if name in self._method_cache:
+            return self._method_cache[name]
+        if hasattr(type(self.model), name):
+            method = getattr(type(self.model), name)
+
+            @partial(jax.jit)
+            def fn(params, *args, **kwargs):
+                return self.model.apply({"params": params}, *args, **kwargs,
+                                        method=method)
+
+            bound = partial(fn, self.params)
+            self._method_cache[name] = bound
+            return bound
+        raise AttributeError(f"unknown attribute {name}")
+
+    def get_label_space(self, options):
+        """Encode answer options (padded to the span length) through the span
+        tower -> [B, H] (modeling.py:1024-1032)."""
+        from merlot_reserve_tpu.tokenizer import encode_batch_padded
+
+        table = encode_batch_padded(options, length=self.model.config.text_span_length,
+                                    tokenizer=self.encoder)
+        return self.embed_text_spans_only(jnp.asarray(table))
+
+
+def _download_ckpt(param_fn: str, cache_path: str):
+    import requests
+
+    url = f"https://storage.googleapis.com/merlotreserve/ckpts/{param_fn}"
+    r = requests.get(url, stream=True)
+    r.raise_for_status()
+    with open(cache_path, "wb") as f:
+        for chunk in r.iter_content(chunk_size=1 << 20):
+            f.write(chunk)

@@ -1,0 +1,182 @@
+"""Modality towers: vision ViT, audio spectrogram encoder, text-span encoder,
+token embedder. Behavior and param trees match
+/root/reference/mreserve/modeling.py:379-538; layout decisions (pre-patchified
+inputs, one fused embedding lookup, attention-pooling as MXU einsums) are kept
+because they are already the TPU-shaped choices.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from merlot_reserve_tpu.models.layers import TransformerEncoder, kernel_init
+from merlot_reserve_tpu.ops import rotary as rotary_ops
+
+
+class VisionTransformer(nn.Module):
+    """ViT over pre-patchified frames [B, H*W, P*P*3] with 2-D centered rotary,
+    CLS pooling, and a pooling_ratio x pooling_ratio attention-pool producing
+    `seq_attnpool` [B, HW/ratio^2, H] (modeling.py:379-430)."""
+
+    patch_size: int = 16
+    hidden_size: int = 768
+    size_per_head: int = 64
+    dtype: Any = jnp.float32
+    num_layers: int = 12
+    pooling_ratio: int = 2
+    output_grid_h: int = 12
+    output_grid_w: int = 20
+    do_rotary: bool = True
+    attention_impl: str = "auto"
+    rotary_sign_quirk: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        *batch_dims, hw, pp3 = x.shape
+        assert hw == self.output_grid_h * self.output_grid_w
+        assert pp3 == (self.patch_size ** 2) * 3
+
+        x = nn.Dense(features=self.hidden_size, dtype=self.dtype,
+                     kernel_init=kernel_init, name="embedding")(x)
+
+        coords = (rotary_ops.get_rotary_coordinates_2d(
+            self.output_grid_h, self.output_grid_w, dtype=self.dtype)
+            if self.do_rotary else None)
+
+        t_out = TransformerEncoder(
+            hidden_size=self.hidden_size, dtype=self.dtype, add_cls_token=True,
+            num_layers=self.num_layers, size_per_head=self.size_per_head,
+            attention_impl=self.attention_impl,
+            rotary_sign_quirk=self.rotary_sign_quirk,
+            name="transformer")(x, rotary_coords=coords)
+
+        # pooling_ratio x pooling_ratio window attention-pool with mean query
+        assert self.output_grid_h % self.pooling_ratio == 0
+        assert self.output_grid_w % self.pooling_ratio == 0
+        h2 = self.output_grid_h // self.pooling_ratio
+        w2 = self.output_grid_w // self.pooling_ratio
+        b2 = int(np.prod(list(batch_dims) + [h2]))
+
+        seq = t_out["seq"].reshape([b2, self.pooling_ratio, w2, self.pooling_ratio,
+                                    self.hidden_size])
+        seq = seq.swapaxes(-4, -3)
+        seq = seq.reshape([b2 * w2, self.pooling_ratio ** 2, self.hidden_size])
+
+        inputs_q = seq.mean(-2, keepdims=True)
+        pooled = nn.MultiHeadDotProductAttention(
+            num_heads=self.hidden_size // self.size_per_head, dtype=self.dtype,
+            deterministic=True, name="seq_attnpool")(inputs_q=inputs_q, inputs_k=seq, inputs_v=seq)
+        t_out["seq_attnpool"] = pooled.reshape(list(batch_dims) + [h2 * w2, self.hidden_size])
+        return t_out
+
+
+class AudioTransformer(nn.Module):
+    """Spectrogram encoder for [B, 60, 65] (64 mels + playback-speed feature):
+    Conv1D patch embed (stride=patch_size), 1-D centered rotary, CLS, and an
+    attention-pool to `audio_token_length` tokens (modeling.py:433-476)."""
+
+    patch_size: int = 2
+    hidden_size: int = 768
+    dtype: Any = jnp.float32
+    num_layers: int = 12
+    pooling_ratio: int = 5
+    size_per_head: int = 64
+    do_rotary: bool = True
+    attention_impl: str = "auto"
+    rotary_sign_quirk: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        *batch_dims, raw_len, num_mels_plus_one = x.shape
+        assert num_mels_plus_one == 65
+        assert raw_len % self.patch_size == 0
+        seq_len = raw_len // self.patch_size
+
+        x = nn.Conv(features=self.hidden_size, kernel_size=[self.patch_size],
+                    strides=[self.patch_size], dtype=self.dtype,
+                    kernel_init=kernel_init, name="embedding")(x)
+
+        coords = (rotary_ops.get_rotary_coordinates(
+            seq_len, dtype=self.dtype, center_origin=True)[:, None] / seq_len
+            if self.do_rotary else None)
+
+        t_out = TransformerEncoder(
+            hidden_size=self.hidden_size, dtype=self.dtype, add_cls_token=True,
+            num_layers=self.num_layers, size_per_head=self.size_per_head,
+            attention_impl=self.attention_impl,
+            rotary_sign_quirk=self.rotary_sign_quirk,
+            name="transformer")(x, rotary_coords=coords)
+
+        assert seq_len % self.pooling_ratio == 0
+        l2 = seq_len // self.pooling_ratio
+        seq = t_out["seq"].reshape([-1, self.pooling_ratio, self.hidden_size])
+        pooled = nn.MultiHeadDotProductAttention(
+            num_heads=self.hidden_size // self.size_per_head, dtype=self.dtype,
+            deterministic=True, name="seq_attnpool")(
+            inputs_q=seq.mean(-2, keepdims=True), inputs_k=seq, inputs_v=seq)
+        t_out["seq_attnpool"] = pooled.reshape(list(batch_dims) + [l2, self.hidden_size])
+        return t_out
+
+
+class SpanTransformer(nn.Module):
+    """4-layer text-span encoder returning CLS — the target tower of the
+    contrastive span-matching head (modeling.py:479-504)."""
+
+    hidden_size: int = 768
+    size_per_head: int = 64
+    dtype: Any = jnp.float32
+    num_layers: int = 4
+    max_len: int = 16
+    do_rotary: bool = True
+    attention_impl: str = "auto"
+    rotary_sign_quirk: bool = True
+
+    @nn.compact
+    def __call__(self, x, x_isvalid):
+        *batch_dims, seq_len, hidden_size = x.shape
+        assert seq_len < self.max_len
+        # not centered: spans are short and left-aligned
+        coords = (rotary_ops.get_rotary_coordinates(
+            seq_len, center_origin=False, dtype=self.dtype)[:, None] / self.max_len
+            if self.do_rotary else None)
+        t_out = TransformerEncoder(
+            hidden_size=self.hidden_size, dtype=self.dtype, add_cls_token=True,
+            num_layers=self.num_layers, size_per_head=self.size_per_head,
+            attention_impl=self.attention_impl,
+            rotary_sign_quirk=self.rotary_sign_quirk,
+            name="transformer")(x, is_valid=x_isvalid, rotary_coords=coords)
+        return t_out["cls"]
+
+
+class TokenEmbedder(nn.Module):
+    """Embed a dict of token tensors through one flattened nn.Embed lookup so
+    XLA emits a single gather (modeling.py:507-538)."""
+
+    hidden_size: int
+    vocab_size: int = 32768
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, token_dict: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        keys = sorted(token_dict.keys())
+        shapes = [token_dict[k].shape for k in keys]
+        n_elems = [int(np.prod(s)) for s in shapes]
+        x_flat = jnp.concatenate([token_dict[k].reshape(-1) for k in keys], 0)
+
+        init = (nn.initializers.normal(stddev=0.02) if self.hidden_size <= 768
+                else nn.initializers.xavier_uniform())
+        embedded = nn.Embed(num_embeddings=self.vocab_size, features=self.hidden_size,
+                            dtype=self.dtype, embedding_init=init)(x_flat)
+        if self.dtype == jnp.bfloat16:
+            embedded = embedded.astype(jnp.bfloat16)
+
+        out = {}
+        offset = 0
+        for k, shape, n in zip(keys, shapes, n_elems):
+            out[k] = embedded[offset:offset + n].reshape(tuple(shape) + (self.hidden_size,))
+            offset += n
+        return out

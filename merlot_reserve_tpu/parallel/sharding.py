@@ -1,0 +1,123 @@
+"""Sharding rules: how params, optimizer state, and batches lay out on the mesh.
+
+Replaces two hand-rolled mechanisms in the reference:
+  * per-host batch slicing + pmap replication (dataloader.py:920-930,
+    train.py:104-107) -> ``batch_sharding`` (dim 0 over dp);
+  * ZeRO-1 optimizer sharding via device_put_sharded + grouped all_gather
+    (finetune/optimization.py:37-52,148-171) -> ``opt_state_shardings``:
+    Adam mu/nu leaves get dim-0 NamedSharding over dp and GSPMD inserts the
+    dynamic-slice / all-gather pair around the (sharded) update computation.
+
+Tensor parallelism (absent in the reference) hooks in here: 2D param rules
+shard the MLP/attention matmuls over tp. With tp=1 these are no-ops.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def batch_sharding(mesh: Mesh):
+    """Batches shard over dp on dim 0 (replicated over tp)."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def _tp_spec_for(path: str, leaf) -> "P":
+    """Tensor-parallel partition spec for a param leaf, by name pattern.
+
+    Megatron-style pairing: the MLP up-projection and the QKV head dim shard
+    over tp (column parallel); the MLP down-projection and attention output
+    projection shard the contracting dim (row parallel), so each pair needs
+    only one psum.
+    """
+    ndim = getattr(leaf, "ndim", 0)
+    if ndim < 2:
+        return P()
+    if re.search(r"intermediate/kernel$", path):
+        return P(None, "tp")  # [H, 4H] column
+    if re.search(r"mlp_layer/out/kernel$", path):
+        return P("tp", None)  # [4H, H] row
+    if re.search(r"qkv/kernel$", path) and ndim == 3:
+        return P(None, "tp", None)  # [H, 3*heads, d] heads over tp
+    if re.search(r"attn_proj/kernel$", path) and ndim == 3:
+        return P("tp", None, None)  # [heads, d, H] heads over tp
+    if re.search(r"Embed_0/embedding$", path):
+        return P("tp", None)  # vocab over tp; gather is cheap
+    return P()
+
+
+def _zero1_spec_for(path: str, leaf, dp_size: int) -> "P":
+    """ZeRO-1: shard moment leaves over dp on the largest divisible dim."""
+    shape = getattr(leaf, "shape", ())
+    if not shape:
+        return P()
+    for dim in range(len(shape)):
+        if shape[dim] % dp_size == 0 and shape[dim] >= dp_size:
+            spec = [None] * len(shape)
+            spec[dim] = "dp"
+            return P(*spec)
+    return P()
+
+
+def _tree_paths(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    paths = ["/".join(_key_str(k) for k in path) for path, _ in flat]
+    leaves = [leaf for _, leaf in flat]
+    return paths, leaves, treedef
+
+
+def _key_str(k) -> str:
+    if hasattr(k, "key"):
+        return str(k.key)
+    if hasattr(k, "name"):
+        return str(k.name)
+    if hasattr(k, "idx"):
+        return str(k.idx)
+    return str(k)
+
+
+def param_shardings(mesh: Mesh, params) -> Any:
+    """NamedShardings for the param tree: tp rules apply; everything else
+    replicated (dp never shards params — that's ZeRO-3 territory)."""
+    tp_size = mesh.shape.get("tp", 1)
+    paths, leaves, treedef = _tree_paths(params)
+    specs = []
+    for path, leaf in zip(paths, leaves):
+        spec = _tp_spec_for(path, leaf) if tp_size > 1 else P()
+        specs.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def opt_state_shardings(mesh: Mesh, opt_state, zero1: bool = True) -> Any:
+    """Shardings for the optax chain state. Adam moment leaves (anything with
+    the same shape family as params, >= dp elements on some dim) shard over
+    dp when ``zero1``; scalars/counters replicate."""
+    dp_size = mesh.shape.get("dp", 1)
+
+    def _leaf_sharding(path_leaf):
+        path, leaf = path_leaf
+        if not zero1 or dp_size == 1:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _zero1_spec_for(path, leaf, dp_size))
+
+    paths, leaves, treedef = _tree_paths(opt_state)
+    shardings = [_leaf_sharding(pl) for pl in zip(paths, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def state_shardings(mesh: Mesh, state, zero1: bool = True):
+    """Shardings for a full flax TrainState."""
+    import flax
+
+    return state.replace(
+        step=NamedSharding(mesh, P()),
+        apply_fn=state.apply_fn,
+        params=param_shardings(mesh, state.params),
+        tx=state.tx,
+        opt_state=opt_state_shardings(mesh, state.opt_state, zero1=zero1),
+    )

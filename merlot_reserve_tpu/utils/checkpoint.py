@@ -1,0 +1,108 @@
+"""Checkpointing, compatible with gs://merlotreserve/ckpts/* (flax msgpack).
+
+Conventions mirrored from /root/reference/mreserve/checkpoint.py:29-119:
+  * on save, f32 leaves compress to f16 (more mantissa than bf16);
+  * on load, f16 leaves decompress to f32;
+  * Adam mu is stored bf16 and nu in a cube-root bf16 encoding (see
+    training/optimization.py), so a full train state is ~params x 4 bytes;
+  * prefix 'ckpt_', host-0-only writes.
+
+The reference pairs this with pmap-replicated states (grabbing replica 0).
+In the pjit world states are not replicated python-side, so save/load operate
+on the addressable global state directly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax.training import checkpoints
+
+
+def _treemap_cast(from_dtype, to_dtype, tree):
+    def _cast(x):
+        if not hasattr(x, "dtype"):
+            return x
+        if x.dtype == from_dtype:
+            return x.astype(to_dtype)
+        return x
+
+    return jax.tree.map(_cast, tree)
+
+
+def compress_state(tree):
+    return _treemap_cast(jnp.float32, jnp.float16, tree)
+
+
+def decompress_state(tree):
+    return _treemap_cast(jnp.float16, jnp.float32, tree)
+
+
+def bf16_to_f32(tree):
+    return _treemap_cast(jnp.bfloat16, jnp.float32, tree)
+
+
+def f32_to_bf16(tree):
+    return _treemap_cast(jnp.float32, jnp.bfloat16, tree)
+
+
+def save_checkpoint(state, path: str, keep: Optional[int] = None, overwrite: bool = True,
+                    no_optimizer: bool = False):
+    """Write a compressed checkpoint (host 0 only). ``state`` may be a
+    TrainState or any pytree with a ``step`` attr/key."""
+    step = int(jax.device_get(getattr(state, "step", 0)))
+    if keep is None:
+        keep = 100_000_000
+
+    if jax.process_index() != 0:
+        return None
+
+    state = jax.device_get(state)
+    if no_optimizer and hasattr(state, "replace"):
+        state = state.replace(opt_state=None)
+    state = compress_state(state)
+    return checkpoints.save_checkpoint(path, state, step=step, prefix="ckpt_",
+                                       keep=keep, overwrite=overwrite)
+
+
+def load_checkpoint(path: str, state: Any = None, step: Optional[int] = None,
+                    use_bfloat16_weights: bool = False):
+    """Load a checkpoint written by this module or by the reference release
+    (same msgpack layout). With state=None returns a raw nested dict."""
+    if state is not None:
+        state = compress_state(state)
+    state = checkpoints.restore_checkpoint(ckpt_dir=path, target=state, step=step,
+                                           prefix="ckpt_", parallel=True)
+    state = decompress_state(state)
+    if use_bfloat16_weights:
+        if hasattr(state, "replace"):
+            state = state.replace(params=f32_to_bf16(state.params))
+        elif isinstance(state, dict) and "params" in state:
+            state = dict(state, params=f32_to_bf16(state["params"]))
+    return state
+
+
+def param_overview(params) -> str:
+    """Human-readable table of the param tree (name, shape, size, dtype)."""
+    lines = []
+    total = 0
+    flat = _flatten("", params)
+    for name, leaf in flat:
+        size = int(getattr(leaf, "size", 0))
+        total += size
+        lines.append(f"{name:<80s} {str(getattr(leaf, 'shape', ())):>20s} "
+                     f"{size:>12,d} {str(getattr(leaf, 'dtype', '?')):>10s}")
+    lines.append(f"TOTAL: {total:,d} params")
+    return "\n".join(lines)
+
+
+def _flatten(prefix, tree):
+    if isinstance(tree, dict):
+        out = []
+        for k in sorted(tree.keys()):
+            out.extend(_flatten(f"{prefix}/{k}" if prefix else str(k), tree[k]))
+        return out
+    return [(prefix, tree)]
