@@ -65,6 +65,10 @@ class ModelConfig:
     # 'auto' picks flash on TPU when shapes allow.
     attention_impl: str = "auto"
     gradient_checkpoint: bool = False
+    # scan over transformer layers (compile 1 layer body instead of N).
+    # Param layout: stacked [L, ...] under 'layers'; checkpoint IO converts
+    # to/from the reference's per-layer naming.
+    scan_layers: bool = True
 
     def __post_init__(self):
         assert self.hidden_size % self.size_per_head == 0

@@ -119,9 +119,12 @@ class TransformerLayer(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
     rotary_sign_quirk: bool = True
+    # scan_format=True makes __call__ return (x, None) so the module drops
+    # straight into nn.scan
+    scan_format: bool = False
 
     @nn.compact
-    def __call__(self, x, *, sinusoids=None, is_valid=None, segment_ids=None,
+    def __call__(self, x, sinusoids=None, is_valid=None, segment_ids=None,
                  attention_bias=None):
         assert x.shape[-1] == self.hidden_size
         x_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_attn_ln")(x)
@@ -135,6 +138,8 @@ class TransformerLayer(nn.Module):
         x_ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_mlp_ln")(x)
         x += MLPBlock(expansion_mult=self.expansion_mult, dtype=self.dtype,
                       name="mlp_layer")(x_ln2)
+        if self.scan_format:
+            return x, None
         return x
 
 
@@ -158,6 +163,12 @@ class TransformerEncoder(nn.Module):
     attention_impl: str = "auto"
     rotary_sign_quirk: bool = True
     remat: bool = False
+    # lax.scan over layers: XLA compiles ONE layer body instead of num_layers
+    # copies (an order of magnitude faster compiles for deep towers; same
+    # steady-state). Param layout becomes stacked [num_layers, ...] under
+    # 'layers'; utils/checkpoint.py stack/unstack converts to the reference's
+    # per-layer 'layer_NN' naming.
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x, *, rotary_coords=None, attention_mask=None, is_valid=None,
@@ -205,18 +216,34 @@ class TransformerEncoder(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_ln")(x)
 
-        layer_cls = TransformerLayer
-        if self.remat:
-            layer_cls = nn.remat(TransformerLayer, static_argnums=())
-        for layer_num in range(self.num_layers):
-            x = layer_cls(
-                hidden_size=self.hidden_size, expansion_mult=self.expansion_mult,
-                size_per_head=self.size_per_head, dtype=self.dtype,
-                attention_impl=self.attention_impl,
-                rotary_sign_quirk=self.rotary_sign_quirk,
-                name=f"layer_{layer_num:02d}")(
-                x, sinusoids=sinusoids, is_valid=is_valid, segment_ids=segment_ids,
-                attention_bias=attention_bias)
+        layer_kwargs = dict(
+            hidden_size=self.hidden_size, expansion_mult=self.expansion_mult,
+            size_per_head=self.size_per_head, dtype=self.dtype,
+            attention_impl=self.attention_impl,
+            rotary_sign_quirk=self.rotary_sign_quirk)
+
+        if self.scan_layers:
+            layer_cls = TransformerLayer
+            if self.remat:
+                layer_cls = nn.remat(layer_cls, prevent_cse=False)
+            scan_cls = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.num_layers,
+                in_axes=nn.broadcast,
+                out_axes=0,
+            )
+            x, _ = scan_cls(scan_format=True, name="layers", **layer_kwargs)(
+                x, sinusoids, is_valid, segment_ids, attention_bias)
+        else:
+            layer_cls = TransformerLayer
+            if self.remat:
+                layer_cls = nn.remat(TransformerLayer)
+            for layer_num in range(self.num_layers):
+                x = layer_cls(name=f"layer_{layer_num:02d}", **layer_kwargs)(
+                    x, sinusoids=sinusoids, is_valid=is_valid,
+                    segment_ids=segment_ids, attention_bias=attention_bias)
         x_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_ln")(x)
 
         info = {}

@@ -57,6 +57,7 @@ class MerlotReserve(nn.Module):
             size_per_head=cfg.size_per_head,
             attention_impl=cfg.attention_impl,
             rotary_sign_quirk=cfg.rotary_sign_quirk,
+            scan_layers=cfg.scan_layers,
         )
         self.vision_encoder = VisionTransformer(
             num_layers=cfg.vit_num_layers,
@@ -372,12 +373,16 @@ class PretrainedMerlotReserve:
     @classmethod
     def from_params(cls, model_name: str, params: Dict, image_grid_size=(12, 20)):
         from merlot_reserve_tpu.tokenizer import get_tokenizer
+        from merlot_reserve_tpu.utils.checkpoint import stack_layer_params
 
         is_on_tpu = any(d.platform == "tpu" for d in jax.local_devices())
         cfg = load_config(model_name,
                           output_grid=tuple(image_grid_size),
                           use_bfloat16=is_on_tpu)
         model = MerlotReserve.from_config(cfg)
+        if cfg.model.scan_layers:
+            # reference checkpoints store per-layer 'layer_NN' trees
+            params = stack_layer_params(params)
         return cls(model=model, params=params, encoder=get_tokenizer())
 
     def __getattr__(self, name):

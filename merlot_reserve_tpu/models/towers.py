@@ -33,6 +33,7 @@ class VisionTransformer(nn.Module):
     do_rotary: bool = True
     attention_impl: str = "auto"
     rotary_sign_quirk: bool = True
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -52,6 +53,7 @@ class VisionTransformer(nn.Module):
             num_layers=self.num_layers, size_per_head=self.size_per_head,
             attention_impl=self.attention_impl,
             rotary_sign_quirk=self.rotary_sign_quirk,
+            scan_layers=self.scan_layers,
             name="transformer")(x, rotary_coords=coords)
 
         # pooling_ratio x pooling_ratio window attention-pool with mean query
@@ -88,6 +90,7 @@ class AudioTransformer(nn.Module):
     do_rotary: bool = True
     attention_impl: str = "auto"
     rotary_sign_quirk: bool = True
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -109,6 +112,7 @@ class AudioTransformer(nn.Module):
             num_layers=self.num_layers, size_per_head=self.size_per_head,
             attention_impl=self.attention_impl,
             rotary_sign_quirk=self.rotary_sign_quirk,
+            scan_layers=self.scan_layers,
             name="transformer")(x, rotary_coords=coords)
 
         assert seq_len % self.pooling_ratio == 0
@@ -134,6 +138,7 @@ class SpanTransformer(nn.Module):
     do_rotary: bool = True
     attention_impl: str = "auto"
     rotary_sign_quirk: bool = True
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x, x_isvalid):
@@ -148,6 +153,7 @@ class SpanTransformer(nn.Module):
             num_layers=self.num_layers, size_per_head=self.size_per_head,
             attention_impl=self.attention_impl,
             rotary_sign_quirk=self.rotary_sign_quirk,
+            scan_layers=self.scan_layers,
             name="transformer")(x, is_valid=x_isvalid, rotary_coords=coords)
         return t_out["cls"]
 

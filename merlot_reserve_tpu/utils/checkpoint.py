@@ -85,6 +85,42 @@ def load_checkpoint(path: str, state: Any = None, step: Optional[int] = None,
     return state
 
 
+_LAYER_RE = __import__("re").compile(r"^layer_(\d+)$")
+
+
+def stack_layer_params(tree):
+    """Convert per-layer 'layer_NN' subtrees (the reference checkpoint layout,
+    modeling.py:365) into a stacked 'layers' subtree ([num_layers, ...] leaves)
+    for scan_layers=True models. Recurses over the whole tree."""
+    import numpy as _np
+
+    if not isinstance(tree, dict):
+        return tree
+    layer_keys = sorted((k for k in tree if _LAYER_RE.match(k)),
+                        key=lambda k: int(_LAYER_RE.match(k).group(1)))
+    out = {k: stack_layer_params(v) for k, v in tree.items()
+           if not _LAYER_RE.match(k)}
+    if layer_keys:
+        subtrees = [tree[k] for k in layer_keys]
+        out["layers"] = jax.tree.map(lambda *leaves: jnp.stack(leaves, 0), *subtrees)
+    return out
+
+
+def unstack_layer_params(tree):
+    """Inverse of stack_layer_params: 'layers' ([L, ...]) -> 'layer_NN'."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        if k == "layers" and isinstance(v, dict):
+            num_layers = jax.tree_util.tree_leaves(v)[0].shape[0]
+            for i in range(num_layers):
+                out[f"layer_{i:02d}"] = jax.tree.map(lambda x: x[i], v)
+        else:
+            out[k] = unstack_layer_params(v)
+    return out
+
+
 def param_overview(params) -> str:
     """Human-readable table of the param tree (name, shape, size, dtype)."""
     lines = []
