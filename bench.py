@@ -40,24 +40,31 @@ def _inputs(cfg, rng):
     return tuple(map(jnp.asarray, (images, audio, tokens, subseg)))
 
 
-def _time_fn(fn, args):
-    import jax
+def _time_fn(fn, params, args):
+    """fn(params, *args) -> (params, out) with params donated. Sync by
+    fetching a slice of out — block_until_ready is unreliable on the
+    remote-attached device, and non-donated params re-upload per call."""
+    import numpy as _np
 
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile
+    params, out = fn(params, *args)  # compile
+    _np.asarray(out.reshape(-1)[:8])
     for _ in range(WARMUP):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        params, out = fn(params, *args)
+    _np.asarray(out.reshape(-1)[:8])
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        params, out = fn(params, *args)
+    _np.asarray(out.reshape(-1)[:8])
     dt = (time.perf_counter() - t0) / ITERS
-    return dt
+    return dt, params
 
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     import merlot_reserve_tpu as mr
@@ -74,11 +81,13 @@ def main():
         dict(zip(("images", "audio_clips", "tokens", "subseg_idxs"), args1)),
         method="embed_video")
     params = jax.device_put(params)
-    batch_args = (params, images, audio, tokens, subseg)
+    batch_args = (images, audio, tokens, subseg)
 
-    mine = jax.jit(lambda p, *a: model.apply({"params": p}, *a,
-                                             method=model.batch_embed_video))
-    dt_mine = _time_fn(mine, batch_args)
+    mine = jax.jit(
+        lambda p, *a: (p, model.apply({"params": p}, *a,
+                                      method=model.batch_embed_video)),
+        donate_argnums=(0,))
+    dt_mine, params = _time_fn(mine, params, batch_args)
     segs_per_sec = N_VIDEOS * N_SEG / dt_mine
 
     # ---- reference baseline on the same chip ----
@@ -93,9 +102,15 @@ def main():
         ref_cfg["model"]["use_bfloat16"] = on_tpu
         ref_model = ref_modeling.MerlotReserve.from_config(ref_cfg)
 
-        ref_fn = jax.jit(lambda p, *a: ref_model.apply(
-            {"params": p}, *a, method=ref_model.batch_embed_video))
-        dt_ref = _time_fn(ref_fn, batch_args)
+        from merlot_reserve_tpu.utils.checkpoint import unstack_layer_params
+
+        ref_fn = jax.jit(
+            lambda p, *a: (p, ref_model.apply(
+                {"params": p}, *a, method=ref_model.batch_embed_video)),
+            donate_argnums=(0,))
+        # our params are scan-stacked; the reference wants per-layer trees
+        ref_params = jax.device_put(unstack_layer_params(params))
+        dt_ref, _ = _time_fn(ref_fn, ref_params, batch_args)
         ref_segs_per_sec = N_VIDEOS * N_SEG / dt_ref
     except Exception as e:  # reference not available / not runnable here
         print(f"# reference baseline unavailable: {type(e).__name__}: {e}",
