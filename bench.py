@@ -8,7 +8,13 @@ transformer + projection) on the real device for:
     trees are compatible by construction),
 and prints ONE json line with segments/sec/chip and the ratio.
 
-The reference publishes no numbers (BASELINE.md), so the baseline is measured
+Methodology: the remote-attached dev chip re-uploads non-donated args per
+execution and has ~30ms dispatch overhead, so each measurement chains N
+model invocations inside ONE jit execution (serialized by a data dependency)
+and reports (t(N) - t(1)) / (N - 1) — pure device compute throughput, which
+is what transfers to production TPUs where input feeding is pipelined.
+
+The reference publishes no numbers (BASELINE.md); the baseline is measured
 here, same chip, same shapes, same dtype.
 """
 
@@ -23,8 +29,7 @@ import numpy as np
 
 N_VIDEOS = 8        # videos per batch
 N_SEG = 8           # segments per video
-WARMUP = 2
-ITERS = 8
+CHAIN = 8           # model invocations chained per jit execution
 
 
 def _inputs(cfg, rng):
@@ -40,23 +45,43 @@ def _inputs(cfg, rng):
     return tuple(map(jnp.asarray, (images, audio, tokens, subseg)))
 
 
-def _time_fn(fn, params, args):
-    """fn(params, *args) -> (params, out) with params donated. Sync by
-    fetching a slice of out — block_until_ready is unreliable on the
-    remote-attached device, and non-donated params re-upload per call."""
+def _make_chained(apply_fn, n):
+    """Build fn(params, images, audio, tokens, subseg) running `n` serialized
+    model invocations (each depends on the previous output)."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(params, images, audio, tokens, subseg):
+        def body(i, carry):
+            s, _ = carry
+            out = apply_fn(params, images + s * 1e-20, audio, tokens, subseg)
+            return (out.astype(jnp.float32).reshape(-1)[0], out)
+
+        s0 = jnp.float32(0.0)
+        out0 = apply_fn(params, images, audio, tokens, subseg)
+        s, out = jax.lax.fori_loop(0, n - 1, body, (out0.astype(jnp.float32).reshape(-1)[0], out0))
+        return params, out.reshape(-1)[:8]
+
+    return jax.jit(chained, donate_argnums=(0,), static_argnums=())
+
+
+def _time_chained(apply_fn, params, args):
     import numpy as _np
 
-    params, out = fn(params, *args)  # compile
-    _np.asarray(out.reshape(-1)[:8])
-    for _ in range(WARMUP):
-        params, out = fn(params, *args)
-    _np.asarray(out.reshape(-1)[:8])
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        params, out = fn(params, *args)
-    _np.asarray(out.reshape(-1)[:8])
-    dt = (time.perf_counter() - t0) / ITERS
-    return dt, params
+    fns = {n: _make_chained(apply_fn, n) for n in (1, CHAIN)}
+    times = {}
+    for n, fn in fns.items():
+        params, out = fn(params, *args)  # compile + run
+        _np.asarray(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            params, out = fn(params, *args)
+            _np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    per_iter = (times[CHAIN] - times[1]) / (CHAIN - 1)
+    return max(per_iter, 1e-9), params
 
 
 def main():
@@ -83,11 +108,10 @@ def main():
     params = jax.device_put(params)
     batch_args = (images, audio, tokens, subseg)
 
-    mine = jax.jit(
-        lambda p, *a: (p, model.apply({"params": p}, *a,
-                                      method=model.batch_embed_video)),
-        donate_argnums=(0,))
-    dt_mine, params = _time_fn(mine, params, batch_args)
+    def my_apply(p, *a):
+        return model.apply({"params": p}, *a, method=model.batch_embed_video)
+
+    dt_mine, params = _time_chained(my_apply, params, batch_args)
     segs_per_sec = N_VIDEOS * N_SEG / dt_mine
 
     # ---- reference baseline on the same chip ----
@@ -97,20 +121,19 @@ def main():
         import mreserve.modeling as ref_modeling
         import yaml
 
+        from merlot_reserve_tpu.utils.checkpoint import unstack_layer_params
+
         with open("/root/reference/pretrain/configs/base.yaml") as f:
             ref_cfg = yaml.safe_load(f)
         ref_cfg["model"]["use_bfloat16"] = on_tpu
         ref_model = ref_modeling.MerlotReserve.from_config(ref_cfg)
 
-        from merlot_reserve_tpu.utils.checkpoint import unstack_layer_params
+        def ref_apply(p, *a):
+            return ref_model.apply({"params": p}, *a,
+                                   method=ref_model.batch_embed_video)
 
-        ref_fn = jax.jit(
-            lambda p, *a: (p, ref_model.apply(
-                {"params": p}, *a, method=ref_model.batch_embed_video)),
-            donate_argnums=(0,))
-        # our params are scan-stacked; the reference wants per-layer trees
         ref_params = jax.device_put(unstack_layer_params(params))
-        dt_ref, _ = _time_fn(ref_fn, ref_params, batch_args)
+        dt_ref, _ = _time_chained(ref_apply, ref_params, batch_args)
         ref_segs_per_sec = N_VIDEOS * N_SEG / dt_ref
     except Exception as e:  # reference not available / not runnable here
         print(f"# reference baseline unavailable: {type(e).__name__}: {e}",

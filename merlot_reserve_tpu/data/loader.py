@@ -1,0 +1,124 @@
+"""Input iterator: multi-file, multi-worker, prefetching pretraining loader.
+
+The input_fn_builder equivalent (/root/reference/pretrain/dataloader.py:
+864-960) without tf.data: per-host file sharding (i % num_hosts ==
+host_index), epoch-shuffled file cycles, a thread pool decoding/masking
+examples, fixed-size batches, and an exception-swallowing retry loop per
+cycle (the reference's crash-only design, dataloader.py:943-955).
+
+Throughput notes: work per example is JPEG decodes (PIL) + a few hundred
+integers of masking; a pool of workers keeps a v5e chip fed at base-config
+shapes. Deterministic seeding is supported (the reference deliberately seeds
+with time() on restart, dataloader.py:922-924 — pass seed=None for that).
+"""
+
+from __future__ import annotations
+
+import queue
+import random as pyrandom
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from merlot_reserve_tpu.config import MerlotConfig
+from merlot_reserve_tpu.data.pretrain_pipeline import (
+    PretrainExampleBuilder,
+    collate_batch,
+    parse_segment_record,
+)
+from merlot_reserve_tpu.data.tfrecord import read_records
+
+
+class PretrainLoader:
+    """Iterate fixed-shape pretraining batches from TFRecord shards."""
+
+    def __init__(self, file_paths: List[str], cfg: MerlotConfig, batch_size: int,
+                 host_index: int = 0, num_hosts: int = 1,
+                 seed: Optional[int] = None, num_workers: int = 8,
+                 prefetch: int = 4, use_bfloat16: bool = False,
+                 repeat: bool = True):
+        self.files = [f for i, f in enumerate(file_paths)
+                      if i % num_hosts == host_index]
+        if not self.files:
+            raise ValueError("no input files for this host")
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.use_bfloat16 = use_bfloat16
+        self.repeat = repeat
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.seed = seed if seed is not None else int(time.time())
+        self._builder = PretrainExampleBuilder(cfg)
+
+    def _record_stream(self):
+        """(record_bytes, per-example rng) pairs across epoch-shuffled files."""
+        rng_files = pyrandom.Random(self.seed)
+        epoch = 0
+        while True:
+            files = list(self.files)
+            rng_files.shuffle(files)
+            for fi, path in enumerate(files):
+                try:
+                    for ri, record in enumerate(read_records(path)):
+                        yield record, np.random.default_rng((self.seed, epoch, fi, ri))
+                except Exception as e:  # crash-only: log, back off, next file
+                    print(f"loader error on {path}: {type(e).__name__}: {e}",
+                          flush=True)
+                    time.sleep(1.0)
+            epoch += 1
+            if not self.repeat:
+                return
+
+    def _build_one(self, record_rng):
+        record, rng = record_rng
+        segments = parse_segment_record(record, self.cfg.data.num_segments)
+        return self._builder.build(segments, rng)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield collated batches; decode+mask runs on a worker pool ahead of
+        consumption (the prefetch_to_device role moves to the trainer, which
+        enqueues the next batch while the step runs)."""
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    batch_examples = []
+                    for ex in pool.map(self._build_one, self._record_stream()):
+                        if stop.is_set():
+                            return
+                        batch_examples.append(ex)
+                        if len(batch_examples) == self.batch_size:
+                            out_q.put(collate_batch(batch_examples,
+                                                    use_bfloat16=self.use_bfloat16))
+                            batch_examples = []
+            except Exception as e:
+                print(f"loader producer died: {type(e).__name__}: {e}", flush=True)
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+def input_fn_builder(cfg: MerlotConfig, file_paths: List[str],
+                     host_index: int = 0, num_hosts: int = 1,
+                     seed: Optional[int] = None, **kw) -> PretrainLoader:
+    """Reference-shaped constructor (dataloader.py:906-960): global batch is
+    divided by num_hosts; each host reads its file shard."""
+    per_host_batch = cfg.device.batch_size // num_hosts
+    return PretrainLoader(file_paths, cfg, per_host_batch,
+                          host_index=host_index, num_hosts=num_hosts,
+                          seed=seed, **kw)

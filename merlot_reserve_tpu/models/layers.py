@@ -214,12 +214,26 @@ class TransformerEncoder(nn.Module):
             attention_bias = attn_ops.make_attention_bias(
                 attention_mask=attention_mask, dtype=self.dtype)
 
+        # Resolve the attention impl once: on the XLA path the additive mask
+        # bias is hoisted HERE (computed once, broadcast into every layer /
+        # scan iteration) instead of being rebuilt per layer; on the flash
+        # path the raw labels stream into the kernel.
+        has_labels = is_valid is not None or segment_ids is not None
+        resolved_impl = attn_ops.resolve_impl(
+            seq_len, self.attention_impl, has_bias=attention_bias is not None,
+            has_labels=has_labels)
+        if resolved_impl == "xla" and has_labels and attention_bias is None:
+            attention_bias = attn_ops.make_attention_bias(
+                is_valid=is_valid, segment_ids=segment_ids, dtype=self.dtype)
+            is_valid = None
+            segment_ids = None
+
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_ln")(x)
 
         layer_kwargs = dict(
             hidden_size=self.hidden_size, expansion_mult=self.expansion_mult,
             size_per_head=self.size_per_head, dtype=self.dtype,
-            attention_impl=self.attention_impl,
+            attention_impl=resolved_impl,
             rotary_sign_quirk=self.rotary_sign_quirk)
 
         if self.scan_layers:

@@ -224,6 +224,17 @@ def _flash_bwd_rule(block_q, block_k, interpret, residuals, g):
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+def resolve_impl(seq_len: int, impl: str = "auto", has_bias: bool = False,
+                 has_labels: bool = False) -> str:
+    """Resolve the 'auto' attention policy once (e.g. at encoder level so the
+    mask bias can be hoisted out of the layer loop/scan)."""
+    if impl != "auto":
+        return impl
+    if has_bias or not has_labels:
+        return "xla"
+    return "flash" if (_on_tpu() and seq_len >= _FLASH_MIN_LEN) else "xla"
+
+
 def attention(q, k, v, *, is_valid=None, segment_ids=None, bias=None, impl: str = "auto",
               interpret: bool = False):
     """Unified attention entry point.

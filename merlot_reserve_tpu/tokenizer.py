@@ -85,25 +85,21 @@ def encode_batch_padded(texts: Sequence[str], length: int, tokenizer=None) -> np
     return out
 
 
-def token_is_valid_table(tokenizer=None) -> np.ndarray:
-    """Boolean [vocab] table of tokens eligible for span masking: tokens whose
-    surface form contains letters/digits, minus hand-banned ids — the
+_BANNED_MASK_TOKENS = (149, 4858, 9504, 15162, 22312, 22433, 32156)
+
+
+@lru_cache(maxsize=1)
+def token_is_valid_table() -> "np.ndarray":
+    """Boolean [vocab] table of tokens eligible for span masking: id > 10 and
+    the surface form matches ^[ A-Za-z0-9']*$, minus 7 hand-banned ids — the
     maskability gate from /root/reference/pretrain/dataloader.py:383-387."""
-    import regex as _re_mod  # optional dep; fall back to `re` below
+    import re
 
-    return _token_valid_impl(tokenizer, _re_mod)
-
-
-def _token_valid_impl(tokenizer, re_mod=None) -> np.ndarray:
-    if re_mod is None:
-        import re as re_mod
-    tok = tokenizer or get_tokenizer()
+    tok = get_tokenizer()
     vocab_size = tok.get_vocab_size()
+    pattern = re.compile(r"^[ A-Za-z0-9']*$")
     ok = np.zeros(vocab_size, dtype=bool)
-    pattern = re_mod.compile(r"[A-Za-z0-9]")
     for tid in range(vocab_size):
-        surface = tok.decode([tid], skip_special_tokens=False)
-        ok[tid] = bool(pattern.search(surface))
-    banned = [PADDING, START, END, MASK, MASKAUDIO, AUDIOSPAN, LTOVPOOL]
-    ok[banned] = False
+        ok[tid] = tid > 10 and bool(pattern.match(tok.decode([tid])))
+    ok[list(_BANNED_MASK_TOKENS)] = False
     return ok

@@ -1,0 +1,70 @@
+"""PretrainLoader: sharding, batching, prefetch, determinism."""
+
+import os
+
+import numpy as np
+import pytest
+
+import merlot_reserve_tpu as mr
+from merlot_reserve_tpu.data.loader import PretrainLoader, input_fn_builder
+from merlot_reserve_tpu.data.synthetic import write_synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = mr.load_config("base", hidden_size=64, joint_num_layers=2, vit_num_layers=2,
+                       audio_num_layers=2, span_num_layers=2, size_per_head=32,
+                       output_grid=(4, 4), use_bfloat16=False)
+    return c.replace_data(num_segments=8, num_segment_groups=2, seq_len=168,
+                          lang_seq_len=48, text_span_budget=10)
+
+
+@pytest.fixture(scope="module")
+def corpus_files(cfg, tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    paths = []
+    for i in range(2):
+        p = os.path.join(d, f"shard{i}.tfrecord")
+        write_synthetic_corpus(p, cfg, num_records=3, seed=i)
+        paths.append(p)
+    return paths
+
+
+def test_loader_batches(corpus_files, cfg):
+    loader = PretrainLoader(corpus_files, cfg, batch_size=2, seed=0,
+                            num_workers=2, repeat=False)
+    batches = list(loader)
+    assert len(batches) == 3  # 6 examples / batch 2
+    b = batches[0]
+    assert b["images"].shape == (2, 8 * 16, 768)
+    assert b["text2audio"].shape[0] == 2
+
+
+def test_loader_deterministic(corpus_files, cfg):
+    def first_batch(seed):
+        loader = PretrainLoader(corpus_files, cfg, batch_size=2, seed=seed,
+                                num_workers=2, repeat=False)
+        return next(iter(loader))
+
+    a = first_batch(7)
+    b = first_batch(7)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+
+
+def test_host_sharding(corpus_files, cfg):
+    l0 = PretrainLoader(corpus_files, cfg, batch_size=1, host_index=0,
+                        num_hosts=2, seed=0, repeat=False)
+    l1 = PretrainLoader(corpus_files, cfg, batch_size=1, host_index=1,
+                        num_hosts=2, seed=0, repeat=False)
+    assert l0.files != l1.files
+    assert len(l0.files) == 1 and len(l1.files) == 1
+
+
+def test_input_fn_builder(corpus_files, cfg):
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        cfg, device=dataclasses.replace(cfg.device, batch_size=4))
+    loader = input_fn_builder(cfg2, corpus_files, num_hosts=2, seed=0, repeat=False)
+    assert loader.batch_size == 2

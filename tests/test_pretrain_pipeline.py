@@ -1,0 +1,122 @@
+"""End-to-end data pipeline: synthetic TFRecord corpus -> example builder ->
+collate -> one pretraining step on the CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+import merlot_reserve_tpu as mr
+from merlot_reserve_tpu.data.pretrain_pipeline import (
+    PretrainExampleBuilder,
+    collate_batch,
+    parse_segment_record,
+    pretrain_examples_from_file,
+)
+from merlot_reserve_tpu.data.synthetic import write_synthetic_corpus
+from merlot_reserve_tpu.data.tfrecord import read_records
+from merlot_reserve_tpu.tokenizer import AUDIOSPAN, LTOVPOOL, MASK, MASKAUDIO, PADDING
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = mr.load_config("base", hidden_size=64, joint_num_layers=2, vit_num_layers=2,
+                       audio_num_layers=2, span_num_layers=2, size_per_head=32,
+                       output_grid=(4, 4), use_bfloat16=False)
+    # seq_len >= num_segments * 19 for audio_text_matching; 8 segments
+    return c.replace_data(num_segments=8, num_segment_groups=2, seq_len=168,
+                          lang_seq_len=48, num_text_spans_to_include=8,
+                          text_span_budget=10)
+
+
+@pytest.fixture(scope="module")
+def corpus(cfg, tmp_path_factory):
+    path = os.path.join(tmp_path_factory.mktemp("data"), "corpus.tfrecord")
+    return write_synthetic_corpus(path, cfg, num_records=3, seed=0)
+
+
+def test_parse_segments(corpus, cfg):
+    rec = next(iter(read_records(corpus)))
+    segments = parse_segment_record(rec, cfg.data.num_segments)
+    assert len(segments) == 8
+    for seg in segments:
+        assert "image/encoded" in seg and "tok_ids" in seg
+        assert len(seg["tok_ids"]) == 20
+
+
+def test_example_builder_schema(corpus, cfg):
+    examples = list(pretrain_examples_from_file(corpus, cfg, seed=1))
+    assert len(examples) == 3
+    d = cfg.data
+    ex = examples[0]
+    assert ex["images"].shape == (8, 16, 768)
+    assert ex["audio_clips"].shape == (8, 3, 60, 65)
+    assert ex["text2audio"].shape == (d.num_segment_groups, d.lang_seq_len, 3)
+    assert ex["audio2text"].shape == (d.num_segment_groups, d.lang_seq_len, 3)
+    assert ex["audio_text_matching"].shape == (1, d.seq_len, 3)
+    assert ex["random_text"].shape == (1, d.seq_len, 3)
+    assert ex["video_src_index"].shape == (8,)
+    assert ex["text_spans"].shape[1] == cfg.model.text_span_length
+
+    # text2audio: masked positions carry MASK then MASKAUDIO
+    t2a = ex["text2audio"].reshape(-1, 3)
+    n_mask = (t2a[:, 0] == MASK).sum()
+    n_maskaudio = (t2a[:, 0] == MASKAUDIO).sum()
+    assert n_mask > 0 and n_mask == n_maskaudio
+    # every MASK has a valid text_ptr into the span table
+    ptrs = t2a[t2a[:, 0] == MASK, 2]
+    assert (ptrs >= 0).all() and (ptrs < len(ex["text_spans"])).all()
+
+    # audio2text: AUDIOSPAN runs with in-range audio pointers (runs may be
+    # end-truncated by the budget subsample, as in the reference)
+    a2t = ex["audio2text"].reshape(-1, 3)
+    aspan = a2t[a2t[:, 0] == AUDIOSPAN]
+    assert len(aspan) > 0
+    assert (aspan[:, 1] >= 0).all() and (aspan[:, 1] < d.num_audio_spans).all()
+
+    # matching stream has one LTOVPOOL per segment
+    atm = ex["audio_text_matching"].reshape(-1, 3)
+    assert (atm[:, 0] == LTOVPOOL).sum() == d.num_segments
+
+    # span table: masked span targets exist and are padded to length
+    assert (ex["text_spans"] != PADDING).any()
+
+
+def test_masked_spans_match_table(corpus, cfg):
+    """The tokens a MASK replaced must appear at text_spans[text_ptr]."""
+    ex = next(iter(pretrain_examples_from_file(corpus, cfg, seed=3)))
+    rec = next(iter(read_records(corpus)))
+    segments = parse_segment_record(rec, cfg.data.num_segments)
+    all_tokens = np.concatenate([np.asarray(s["tok_ids"]) for s in segments])
+
+    t2a = ex["text2audio"].reshape(-1, 3)
+    for ptr in t2a[t2a[:, 0] == MASK, 2]:
+        span = ex["text_spans"][ptr]
+        span = span[span != PADDING]
+        assert len(span) == 0 or np.isin(span, all_tokens).all()
+
+
+def test_collate_and_train_step(corpus, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from merlot_reserve_tpu.models import MerlotReservePretrainer
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.training.optimization import construct_train_state
+    from merlot_reserve_tpu.training.trainer import make_jit_train_step
+
+    examples = list(pretrain_examples_from_file(corpus, cfg, seed=2))
+    batch = collate_batch(examples[:2])
+    assert batch["images"].shape == (2, 8 * 16, 768)
+    assert batch["audio_clips"].shape == (2, 8 * 3 * 60, 65)
+    assert "text2audio/audio_ptr" in batch and "random_text/text_ptr" in batch
+
+    pre = MerlotReservePretrainer.from_config(cfg)
+    params = pre.init_params(batch)
+    state = construct_train_state(cfg.optimizer, pre, params)
+    mesh = make_mesh(dp=2, tp=1, devices=jax.devices("cpu")[:2])
+    step_fn, state = make_jit_train_step(mesh, state)
+    state, metrics = step_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
+    floats = {k: float(v) for k, v in metrics.items()}
+    assert all(np.isfinite(v) for v in floats.values()), floats
+    assert floats["imgs_to_audio"] > 0
