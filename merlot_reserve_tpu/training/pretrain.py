@@ -1,0 +1,134 @@
+"""Pretraining driver: the /root/reference/pretrain/train.py:55-145 loop as a
+library function over the pjit trainer.
+
+Differences from the reference by design:
+  * one jit over an explicit Mesh instead of pmap (multi-host via
+    jax.distributed.initialize + the same global mesh);
+  * checkpoint/resume through utils/checkpoint (same msgpack format);
+  * async metrics via MetricsQueue (the copy_to_host_async pattern);
+  * deterministic data seeding is available (seed=None reproduces the
+    reference's time()-seeded restart behavior).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from merlot_reserve_tpu.config import MerlotConfig
+from merlot_reserve_tpu.models.pretrainer import MerlotReservePretrainer
+from merlot_reserve_tpu.parallel.mesh import make_mesh
+from merlot_reserve_tpu.training.optimization import construct_train_state
+from merlot_reserve_tpu.training.trainer import MetricsQueue, make_jit_train_step
+from merlot_reserve_tpu.utils import checkpoint as ckpt_lib
+
+
+def run_pretraining(
+    cfg: MerlotConfig,
+    batch_iterator: Iterable[Dict[str, np.ndarray]],
+    num_steps: Optional[int] = None,
+    output_dir: Optional[str] = None,
+    mesh=None,
+    log_every: int = 50,
+    save_every: Optional[int] = None,
+    log_fn: Callable[[int, Dict[str, float]], None] = None,
+    zero1: bool = True,
+):
+    """Run (or resume) pretraining; returns the final TrainState.
+
+    :param batch_iterator: yields collated global batches (data/loader.py)
+    :param num_steps: overrides cfg.optimizer.num_train_steps
+    :param output_dir: checkpoint directory (no checkpointing if None)
+    """
+    num_steps = num_steps or cfg.optimizer.num_train_steps
+    save_every = save_every or cfg.device.iterations_per_loop
+    output_dir = output_dir or (cfg.device.output_dir or None)
+    mesh = mesh or make_mesh(dp=cfg.device.dp, tp=cfg.device.tp)
+
+    model = MerlotReservePretrainer.from_config(cfg)
+
+    batch_iter = iter(batch_iterator)
+    first_batch = next(batch_iter)
+    params = model.init_params(first_batch)
+    state = construct_train_state(cfg.optimizer, model, params)
+
+    if output_dir and os.path.isdir(output_dir):
+        latest = ckpt_lib.load_checkpoint(output_dir, state=state)
+        if latest is not None:
+            state = latest
+
+    step_fn, state = make_jit_train_step(mesh, state, zero1=zero1)
+
+    metrics_q = MetricsQueue(delay=log_every)
+    start_step = int(jax.device_get(state.step))
+    t_block = time.time()
+
+    batch = first_batch
+    for step in range(start_step, num_steps):
+        batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step_fn(state, batch_dev)
+
+        ready = metrics_q.push(step, metrics)
+        if ready is not None and log_fn is not None:
+            log_fn(*ready)
+
+        if output_dir and (step + 1) % save_every == 0:
+            ckpt_lib.save_checkpoint(state, output_dir)
+
+        if (step + 1) % 100 == 0:
+            dt = time.time() - t_block
+            print(f"steps {step - 98}..{step + 1}: {dt:.1f}s "
+                  f"({100 / dt:.2f} it/s)", flush=True)
+            t_block = time.time()
+
+        if step + 1 < num_steps:
+            try:
+                batch = next(batch_iter)
+            except StopIteration:
+                print("input exhausted; stopping", flush=True)
+                break
+
+    for ready in metrics_q.drain():
+        if log_fn is not None and ready is not None:
+            log_fn(*ready)
+    if output_dir:
+        ckpt_lib.save_checkpoint(state, output_dir)
+    return state
+
+
+def evaluate_loss(cfg: MerlotConfig, state, batch_iterator, num_batches: int,
+                  mesh=None) -> Dict[str, float]:
+    """validate.py equivalent (/root/reference/pretrain/validate.py:94-158):
+    accumulate forward outputs over several batches, then compute the
+    contrastive loss once over the concatenated megabatch so the denominator
+    matches training's global-batch semantics."""
+    from merlot_reserve_tpu.models.pretrainer import loss_fn_given_preds
+
+    mesh = mesh or make_mesh(dp=cfg.device.dp, tp=cfg.device.tp)
+    model = MerlotReservePretrainer.from_config(cfg)
+
+    fwd = jax.jit(lambda p, b: model.apply({"params": p}, b))
+
+    preds_acc = None
+    it = iter(batch_iterator)
+    for _ in range(num_batches):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        preds = jax.device_get(fwd(state.params, batch))
+        if preds_acc is None:
+            preds_acc = jax.tree.map(lambda x: [x], preds)
+        else:
+            preds_acc = jax.tree.map(lambda acc, x: acc + [x], preds_acc, preds,
+                                     is_leaf=lambda x: isinstance(x, list))
+    preds_cat = jax.tree.map(
+        lambda xs: np.concatenate(xs, 0) if np.asarray(xs[0]).ndim > 0 else xs[0],
+        preds_acc, is_leaf=lambda x: isinstance(x, list))
+    loss, info = jax.jit(loss_fn_given_preds)(
+        jax.tree.map(jnp.asarray, preds_cat))
+    info = {k: float(v) for k, v in info.items()}
+    info["total"] = float(loss)
+    return info
