@@ -83,6 +83,57 @@ def make_video_record(cfg: MerlotConfig, rng: np.random.Generator,
     return T.encode_example(features)
 
 
+def make_vcr_record(cfg: MerlotConfig, rng: np.random.Generator,
+                    num_answers: int = 4) -> bytes:
+    """Synthetic VCR example (finetune/common_dataloader.py:86-137 schema)."""
+    img = rng.integers(0, 256, (200, 300, 3), dtype=np.uint8)
+    feats = {
+        "image": T.bytes_feature([_jpeg_bytes(img, "RGB")]),
+        "image_fliplr": T.bytes_feature([_jpeg_bytes(img[:, ::-1], "RGB")]),
+        "id": T.bytes_feature([b"vcr-0"]),
+    }
+    for prefix in ("qa", "qar"):
+        feats[f"{prefix}_query"] = T.int64_feature(
+            rng.integers(100, 1000, 12).tolist())
+        for i in range(num_answers):
+            feats[f"{prefix}_choice_{i}"] = T.int64_feature(
+                rng.integers(100, 1000, 8).tolist())
+        feats[f"{prefix}_label"] = T.int64_feature([int(rng.integers(0, num_answers))])
+    return T.encode_example(feats)
+
+
+def make_tvqa_record(cfg: MerlotConfig, rng: np.random.Generator,
+                     num_answers: int = 5, num_segments: int = 7) -> bytes:
+    """Synthetic TVQA example (finetune/common_dataloader.py:139-239 schema)."""
+    feats = {
+        "id": T.bytes_feature([b"tvqa-0"]),
+        "magic_number": T.float_feature([float(rng.uniform(20, 60))]),
+        "qa_query": T.int64_feature(rng.integers(100, 1000, 10).tolist()),
+        "qa_label": T.int64_feature([int(rng.integers(0, num_answers))]),
+        "num_frames": T.int64_feature([num_segments]),
+    }
+    for i in range(num_answers):
+        feats[f"qa_choice_{i}"] = T.int64_feature(
+            rng.integers(100, 1000, 6).tolist())
+    for i in range(num_segments):
+        img = rng.integers(0, 256, (180, 320, 3), dtype=np.uint8)
+        # one JPEG holding the [3, 60, 65] spectrogram as [3*60, 65]
+        spec = rng.integers(0, 256, (3 * 60, 65), dtype=np.uint8)
+        feats[f"c{i:02d}/image_encoded"] = T.bytes_feature([_jpeg_bytes(img, "RGB")])
+        feats[f"c{i:02d}/spec_encoded"] = T.bytes_feature([_jpeg_bytes(spec, "L")])
+        feats[f"c{i:02d}/sub"] = T.int64_feature(
+            rng.integers(100, 1000, 8).tolist())
+    return T.encode_example(feats)
+
+
+def write_synthetic_finetune_corpus(path: str, cfg: MerlotConfig, task: str,
+                                    num_records: int = 4, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    make = {"vcr": make_vcr_record, "tvqa": make_tvqa_record}[task]
+    T.write_records(path, [make(cfg, rng) for _ in range(num_records)])
+    return path
+
+
 def write_synthetic_corpus(path: str, cfg: MerlotConfig, num_records: int = 4,
                            seed: int = 0):
     rng = np.random.default_rng(seed)

@@ -1,0 +1,4 @@
+from merlot_reserve_tpu.finetune.models import (  # noqa: F401
+    MerlotReserveTVQA,
+    MerlotReserveVCR,
+)

