@@ -61,14 +61,13 @@ def make_attention_bias(is_valid=None, segment_ids=None, attention_mask=None, dt
     return bias
 
 
-def xla_attention(q, k, v, bias=None):
-    """Dense attention with softmax in q.dtype (bf16 on TPU — matches the
-    reference's dot_product_attention_weights numerics, modeling.py:197-199,
-    and halves the attention-matrix HBM traffic vs an f32 softmax: measured
-    ~20% end-to-end on the base encode path).
+def xla_attention(q, k, v, bias=None, softmax_dtype=None):
+    """Dense attention.
 
     :param q, k, v: [B, L, heads, size_per_head]
     :param bias: [B, 1, Lq, Lk] additive, or None
+    :param softmax_dtype: dtype for the softmax; None keeps q.dtype (the
+        reference's dot_product_attention_weights numerics, modeling.py:197-199)
     :return: [B, L, heads, size_per_head] in q.dtype
     """
     depth = q.shape[-1]
@@ -76,7 +75,10 @@ def xla_attention(q, k, v, bias=None):
     logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
-    probs = jax.nn.softmax(logits, axis=-1)
+    if softmax_dtype is not None and logits.dtype != softmax_dtype:
+        probs = jax.nn.softmax(logits.astype(softmax_dtype), axis=-1).astype(q.dtype)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("...hqk,...khd->...qhd", probs, v)
 
 

@@ -1,0 +1,102 @@
+"""Zero-shot inference toolkit: mask-infilling ranking and batched feature
+extraction — the library core behind /root/reference/demo/ (demo_video.py,
+zero_shot_ek/extract_ek100_feat.py + zero_shot_eval_ek100.py,
+zero_shot_qa/inference.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from merlot_reserve_tpu.tokenizer import MASK
+
+
+def rank_options(model, video_pre: Dict, options: Sequence[str],
+                 temperature: float = 100.0) -> np.ndarray:
+    """Embed one preprocessed video and rank ``options`` at each MASK position.
+
+    :param model: PretrainedMerlotReserve
+    :param video_pre: preprocess_video output
+    :return: [num_masks, num_options] probabilities
+    """
+    args = {k: jnp.asarray(v) for k, v in video_pre.items()}
+    out_h = model.embed_video(**args)
+    out_h = out_h[args["tokens"] == MASK]
+    label_space = model.get_label_space(list(options))
+    logits = temperature * jnp.einsum("bh,lh->bl", out_h, label_space)
+    return np.asarray(jax.nn.softmax(logits, -1))
+
+
+def extract_mask_features(model, video_pres: List[Dict]) -> np.ndarray:
+    """Batch-embed videos and return the hidden state at the FIRST MASK of
+    each (the EK-100 extract stage, extract_ek100_feat.py:17-158). All videos
+    must share shapes."""
+    batch = {k: jnp.stack([jnp.asarray(v[k]) for v in video_pres])
+             for k in video_pres[0]}
+    out = model.batch_embed_video(batch["images"], batch["audio_clips"],
+                                  batch["tokens"], batch["subseg_idxs"])
+    feats = []
+    for i, vp in enumerate(video_pres):
+        mask_pos = int(np.argmax(np.asarray(vp["tokens"]) == MASK))
+        feats.append(np.asarray(out[i, mask_pos]))
+    return np.stack(feats)
+
+
+def score_label_space(model, mask_features: np.ndarray, options: Sequence[str],
+                      temperature: float = 100.0) -> np.ndarray:
+    """[N, H] precomputed MASK features x label space -> [N, num_options]
+    logits (the EK-100/MSRVTT eval stage)."""
+    label_space = model.get_label_space(list(options))
+    return np.asarray(temperature * jnp.einsum(
+        "bh,lh->bl", jnp.asarray(mask_features), label_space))
+
+
+def topk_accuracy(logits: np.ndarray, labels: np.ndarray, ks=(1, 5)) -> Dict[str, float]:
+    """Top-k accuracies (zero_shot_eval_ek100.py metric surface)."""
+    order = np.argsort(-logits, axis=-1)
+    out = {}
+    for k in ks:
+        hit = (order[:, :k] == labels[:, None]).any(-1)
+        out[f"top{k}"] = float(hit.mean())
+    return out
+
+
+def verb_noun_action_accuracy(logits: np.ndarray, labels: np.ndarray,
+                              action_to_verb: np.ndarray,
+                              action_to_noun: np.ndarray,
+                              ks=(1, 5)) -> Dict[str, float]:
+    """EK-100 style: action logits are over 'verb noun' strings; verb/noun
+    accuracy marginalizes over the other factor by max."""
+    out = {}
+    for name, mapping in [("action", None), ("verb", action_to_verb),
+                          ("noun", action_to_noun)]:
+        if mapping is None:
+            lg, lb = logits, labels
+        else:
+            n_classes = int(mapping.max()) + 1
+            lg = np.full((logits.shape[0], n_classes), -1e9, logits.dtype)
+            np.maximum.at(lg.T, mapping, logits.T)
+            lb = mapping[labels]
+        for k, v in topk_accuracy(lg, lb, ks).items():
+            out[f"{name}_{k}"] = v
+    return out
+
+
+def question_to_statement(question: str, answer_slot: str = "<|MASK|>") -> str:
+    """Heuristic question->statement rewrite for mask infilling (the offline
+    GPT-3 rewrite in qa_to_infill.py is better; this covers common wh-forms)."""
+    q = question.strip().rstrip("?").lower()
+    for prefix, template in [
+        ("what is ", "{rest} is " + answer_slot),
+        ("what are ", "{rest} are " + answer_slot),
+        ("who is ", "{rest} is " + answer_slot),
+        ("where is ", "{rest} is in " + answer_slot),
+        ("how many ", "there are " + answer_slot + " {rest}"),
+    ]:
+        if q.startswith(prefix):
+            return template.format(rest=q[len(prefix):])
+    return q + " " + answer_slot
