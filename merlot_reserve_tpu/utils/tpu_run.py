@@ -1,0 +1,111 @@
+"""TPU-VM cluster orchestration — the capability of
+/root/reference/pretrain/tpu_run.py:34-200 (create/health-check/delete a TPU
+VM pod via the GCP REST API, push code to every worker, launch training on
+all of them), built on stdlib + gcloud/ssh subprocesses instead of
+fabric/googleapiclient so it runs in minimal images.
+
+All actions support dry_run=True (print the commands) for testing without a
+GCP project.
+"""
+
+from __future__ import annotations
+
+import json
+import shlex
+import subprocess
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+
+@dataclass
+class TPUCreator:
+    name: str
+    zone: str = "europe-west4-a"
+    project: Optional[str] = None
+    accelerator_type: str = "v5litepod-8"
+    version: str = "tpu-ubuntu2204-base"
+    network: Optional[str] = None
+    preemptible: bool = False
+    dry_run: bool = False
+    _log: List[str] = field(default_factory=list)
+
+    # -- low-level ------------------------------------------------------
+
+    def _run(self, cmd: List[str], check: bool = True) -> str:
+        printable = " ".join(shlex.quote(c) for c in cmd)
+        self._log.append(printable)
+        if self.dry_run:
+            print(f"[dry-run] {printable}")
+            return ""
+        out = subprocess.run(cmd, capture_output=True, text=True)
+        if check and out.returncode != 0:
+            raise RuntimeError(f"{printable}\n{out.stderr}")
+        return out.stdout
+
+    def _gcloud(self, *args: str, check: bool = True) -> str:
+        cmd = ["gcloud", "compute", "tpus", "tpu-vm", *args,
+               f"--zone={self.zone}"]
+        if self.project:
+            cmd.append(f"--project={self.project}")
+        return self._run(cmd, check=check)
+
+    # -- lifecycle ------------------------------------------------------
+
+    def create(self):
+        args = ["create", self.name,
+                f"--accelerator-type={self.accelerator_type}",
+                f"--version={self.version}"]
+        if self.network:
+            args.append(f"--network={self.network}")
+        if self.preemptible:
+            args.append("--preemptible")
+        return self._gcloud(*args)
+
+    def describe(self) -> Dict:
+        out = self._gcloud("describe", self.name, "--format=json", check=False)
+        return json.loads(out) if out else {}
+
+    def wait_until_ready(self, timeout_s: float = 1800, poll_s: float = 30) -> bool:
+        """Poll until READY+HEALTHY (tpu_run.py:59-79)."""
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            info = self.describe()
+            state = info.get("state", "")
+            health = info.get("health", "")
+            if state == "READY" and health in ("HEALTHY", ""):
+                return True
+            if self.dry_run:
+                return True
+            time.sleep(poll_s)
+        return False
+
+    def delete(self):
+        return self._gcloud("delete", self.name, "--quiet")
+
+    # -- code push + launch ---------------------------------------------
+
+    def push_code(self, local_dir: str, remote_dir: str = "~/merlot_reserve_tpu"):
+        """rsync the framework to every worker (tpu_run.py:118-167)."""
+        return self._gcloud(
+            "scp", "--recurse", local_dir, f"{self.name}:{remote_dir}",
+            "--worker=all")
+
+    def run_on_all_workers(self, command: str, detach: bool = True):
+        """Run a command on every worker, optionally detached under nohup
+        (the reference used `screen`, tpu_run.py:185-191)."""
+        if detach:
+            command = f"nohup bash -lc {shlex.quote(command)} > train.log 2>&1 &"
+        return self._gcloud("ssh", self.name, f"--command={command}",
+                            "--worker=all")
+
+    def launch_training(self, config: str = "configs/base.yaml",
+                        remote_dir: str = "~/merlot_reserve_tpu",
+                        extra_args: str = ""):
+        cmd = (f"cd {remote_dir} && python scripts/pretrain.py {config} "
+               f"-distributed {extra_args}")
+        return self.run_on_all_workers(cmd)
+
+    @property
+    def issued_commands(self) -> List[str]:
+        return list(self._log)

@@ -1,0 +1,66 @@
+"""Utility subsystems: TPU-VM orchestration (dry-run), profiling meters,
+checkpoint converters on a full model tree."""
+
+import json
+import os
+
+import numpy as np
+
+from merlot_reserve_tpu.utils.profiling import ThroughputMeter, log_jsonl
+from merlot_reserve_tpu.utils.tpu_run import TPUCreator
+
+
+def test_tpu_creator_dry_run():
+    tpu = TPUCreator(name="test-pod", zone="us-east1-d",
+                     accelerator_type="v5litepod-16", dry_run=True)
+    tpu.create()
+    assert tpu.wait_until_ready()
+    tpu.push_code("/root/repo")
+    tpu.launch_training("configs/base.yaml", extra_args="-train_fns 'x*'")
+    tpu.delete()
+    cmds = tpu.issued_commands
+    assert any("create" in c and "v5litepod-16" in c for c in cmds)
+    assert any("scp" in c and "--worker=all" in c for c in cmds)
+    assert any("scripts/pretrain.py" in c for c in cmds)
+    assert any("delete" in c for c in cmds)
+
+
+def test_throughput_meter():
+    m = ThroughputMeter(window=3, batch_size=8)
+    assert m.step() is None
+    assert m.step() is None
+    out = m.step()
+    assert out is not None and out["it_per_sec"] > 0
+    assert out["examples_per_sec"] == out["it_per_sec"] * 8
+
+
+def test_log_jsonl(tmp_path):
+    p = os.path.join(tmp_path, "m.jsonl")
+    log_jsonl(p, {"step": 1, "loss": 2.5})
+    log_jsonl(p, {"step": 2, "loss": 2.0})
+    lines = [json.loads(l) for l in open(p)]
+    assert lines[1]["loss"] == 2.0
+
+
+def test_checkpoint_save_load_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from flax.training import train_state
+    import optax
+
+    from merlot_reserve_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+              "b": jnp.ones(3, jnp.float32)}
+    state = train_state.TrainState.create(
+        apply_fn=lambda *a: None, params=params, tx=optax.sgd(0.1))
+    out = str(tmp_path / "ck")
+    os.makedirs(out)
+    save_checkpoint(state, out)
+    files = os.listdir(out)
+    assert any(f.startswith("ckpt_") for f in files)
+
+    restored = load_checkpoint(out, state=state)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(params["w"]))
+    # f16 compression round trip preserves f32 dtype on load
+    assert restored.params["w"].dtype == np.float32
