@@ -1,0 +1,89 @@
+"""Batched zero-shot inference service (BASELINE.json config 2).
+
+Wraps a MerlotReserve model for production-style serving: fixed batch shapes
+(compile once), params donated and threaded through executions (no per-call
+re-upload), host-side micro-batching with padding, and the precompute paths
+(`embed_preencoded_*`) for label-space or image-prefix caching.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from merlot_reserve_tpu.tokenizer import MASK
+
+
+@dataclass
+class VideoEmbedService:
+    """Fixed-shape batched embed_video server.
+
+    :param model: MerlotReserve (flax module)
+    :param params: param tree (device-resident; donated across calls)
+    :param batch_size: compiled batch size; requests pad up to it
+    """
+
+    model: object
+    params: Dict
+    batch_size: int = 8
+    _fn: Optional[object] = None
+    stats: Dict = field(default_factory=lambda: {"batches": 0, "videos": 0,
+                                                 "seconds": 0.0})
+
+    def __post_init__(self):
+        model = self.model
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def fn(params, images, audio, tokens, subseg):
+            out = model.apply({"params": params}, images, audio, tokens, subseg,
+                              method=model.batch_embed_video)
+            return params, out
+
+        self._fn = fn
+        self.params = jax.device_put(self.params)
+
+    def embed(self, video_pres: Sequence[Dict]) -> np.ndarray:
+        """Embed up to batch_size preprocessed videos -> [N, L, H]."""
+        n = len(video_pres)
+        assert n <= self.batch_size
+        pad = self.batch_size - n
+        stack = {k: np.stack([np.asarray(v[k]) for v in video_pres] +
+                             [np.asarray(video_pres[0][k])] * pad)
+                 for k in ("images", "audio_clips", "tokens", "subseg_idxs")}
+        t0 = time.perf_counter()
+        self.params, out = self._fn(self.params, jnp.asarray(stack["images"]),
+                                    jnp.asarray(stack["audio_clips"]),
+                                    jnp.asarray(stack["tokens"]),
+                                    jnp.asarray(stack["subseg_idxs"]))
+        out = np.asarray(out[:n])
+        self.stats["batches"] += 1
+        self.stats["videos"] += n
+        self.stats["seconds"] += time.perf_counter() - t0
+        return out
+
+    def embed_stream(self, video_pres: Sequence[Dict]) -> np.ndarray:
+        """Embed any number of videos, micro-batching internally."""
+        outs = []
+        for i in range(0, len(video_pres), self.batch_size):
+            outs.append(self.embed(video_pres[i:i + self.batch_size]))
+        return np.concatenate(outs, 0)
+
+    def mask_features(self, video_pres: Sequence[Dict]) -> np.ndarray:
+        """[N, H] hidden state at each video's first MASK."""
+        out = self.embed_stream(video_pres)
+        feats = []
+        for i, vp in enumerate(video_pres):
+            pos = int(np.argmax(np.asarray(vp["tokens"]) == MASK))
+            feats.append(out[i, pos])
+        return np.stack(feats)
+
+    @property
+    def throughput(self) -> float:
+        """Videos/sec over the service lifetime."""
+        return self.stats["videos"] / max(self.stats["seconds"], 1e-9)
