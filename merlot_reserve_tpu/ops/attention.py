@@ -87,11 +87,13 @@ def xla_attention(q, k, v, bias=None, softmax_dtype=None):
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+def _flash_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                  block_k: int, scale: float):
     """One (batch, head, q-block) program: stream K/V blocks with online softmax.
 
     valid_ref/seg_ref: [1, 1, L] int32 position labels for the whole row.
-    q_ref: [1, 1, block_q, d]; k_ref/v_ref: [1, 1, L, d]; o_ref: [1, 1, block_q, d].
+    q_ref: [1, 1, block_q, d]; k_ref/v_ref: [1, 1, L, d]; o_ref: [1, 1, block_q, d];
+    lse_ref: [1, 1, block_q] log-sum-exp per row (saved for the backward).
     """
     from jax.experimental import pallas as pl  # deferred: CPU tests may lack mosaic
 
@@ -133,6 +135,24 @@ def _flash_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: in
     # fully-masked rows (invalid queries) keep l == 0; emit zeros for them
     l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
     o_ref[0, 0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    lse_ref[0, 0] = m_fin + jnp.log(l_safe)
+
+
+def _pad_for_blocks(q, k, v, is_valid, segment_ids, block: int):
+    """Pad L to a block multiple; padded positions marked invalid."""
+    B, L, H, D = q.shape
+    Lp = int(np.ceil(L / block) * block)
+    pad = Lp - L
+    is_valid = is_valid.astype(jnp.int32)
+    segment_ids = segment_ids.astype(jnp.int32)
+    if pad:
+        qkv_pad = [(0, 0), (0, pad), (0, 0), (0, 0)]
+        q = jnp.pad(q, qkv_pad)
+        k = jnp.pad(k, qkv_pad)
+        v = jnp.pad(v, qkv_pad)
+        is_valid = jnp.pad(is_valid, [(0, 0), (0, pad)])
+        segment_ids = jnp.pad(segment_ids, [(0, 0), (0, pad)], constant_values=-1)
+    return q, k, v, is_valid, segment_ids, Lp, pad
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -148,11 +168,13 @@ def flash_attention(q, k, v, is_valid, segment_ids, block_q: int = 128, block_k:
     L is padded internally to a multiple of the block size; padded positions
     are marked invalid so they contribute nothing.
 
-    Differentiable: the backward currently recomputes attention densely (XLA)
-    — correct but O(L^2) memory in bwd; a Pallas bwd kernel is the planned
-    upgrade once flash becomes the fwd default.
+    Fully differentiable: backward is two Pallas kernels (dq; dk+dv) that
+    recompute probabilities per tile from the saved log-sum-exp — no O(L^2)
+    tensor in HBM in either direction.
     """
-    return _flash_forward(q, k, v, is_valid, segment_ids, block_q, block_k, interpret)
+    out, _lse = _flash_forward(q, k, v, is_valid, segment_ids, block_q, block_k,
+                               interpret)
+    return out
 
 
 def _flash_forward(q, k, v, is_valid, segment_ids, block_q=128, block_k=128,
@@ -161,19 +183,8 @@ def _flash_forward(q, k, v, is_valid, segment_ids, block_q=128, block_k=128,
 
     B, L, H, D = q.shape
     scale = 1.0 / np.sqrt(D)
-
-    Lp = int(np.ceil(L / max(block_q, block_k)) * max(block_q, block_k))
-    pad = Lp - L
-
-    is_valid = is_valid.astype(jnp.int32)
-    segment_ids = segment_ids.astype(jnp.int32)
-    if pad:
-        qkv_pad = [(0, 0), (0, pad), (0, 0), (0, 0)]
-        q = jnp.pad(q, qkv_pad)
-        k = jnp.pad(k, qkv_pad)
-        v = jnp.pad(v, qkv_pad)
-        is_valid = jnp.pad(is_valid, [(0, 0), (0, pad)])
-        segment_ids = jnp.pad(segment_ids, [(0, 0), (0, pad)], constant_values=-1)
+    q, k, v, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
+        q, k, v, is_valid, segment_ids, max(block_q, block_k))
 
     # [B, L, H, D] -> [B, H, L, D] so each program reads a contiguous row
     qt = q.transpose(0, 2, 1, 3)
@@ -186,7 +197,7 @@ def _flash_forward(q, k, v, is_valid, segment_ids, block_q=128, block_k=128,
     grid = (B, H, Lp // block_q)
     kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -196,33 +207,165 @@ def _flash_forward(q, k, v, is_valid, segment_ids, block_q=128, block_k=128,
             pl.BlockSpec((1, 1, Lp, D), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, Lp, D), lambda b, h, i: (b, h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, Lp, D), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Lp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Lp), jnp.float32),
+        ),
         interpret=interpret,
     )(valid3, segs3, qt, kt, vt)
 
     out = out.transpose(0, 2, 1, 3)
     if pad:
         out = out[:, :L]
-    return out
+    return out, lse  # lse stays padded [B, H, Lp] for the bwd kernels
+
+
+def _flash_bwd_dq_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, *, block_k: int, scale: float):
+    """dq for one (batch, head, q-block): stream K/V, recompute p from the
+    saved log-sum-exp. delta_i = rowsum(dO * O) is precomputed (elementwise).
+    ds = p * (dp - delta); dq = scale * ds @ K."""
+    from jax.experimental import pallas as pl
+
+    block_q = q_ref.shape[2]
+    seq_len = k_ref.shape[2]
+    q_idx = pl.program_id(2)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]      # [block_q]
+    delta = delta_ref[0, 0]  # [block_q]
+    q_valid = valid_ref[0, 0, pl.ds(q_idx * block_q, block_q)]
+    q_seg = seg_ref[0, 0, pl.ds(q_idx * block_q, block_q)]
+
+    def body(kb, dq_acc):
+        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q * scale, k_blk.T, preferred_element_type=jnp.float32)
+        k_valid = valid_ref[0, 0, pl.ds(kb * block_k, block_k)]
+        k_seg = seg_ref[0, 0, pl.ds(kb * block_k, block_k)]
+        mask = (q_valid[:, None] > 0) & (k_valid[None, :] > 0) & \
+            (q_seg[:, None] == k_seg[None, :])
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        return dq_acc + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    num_kb = seq_len // block_k
+    dq = lax.fori_loop(0, num_kb, body, jnp.zeros_like(q)) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, *, block_q: int, scale: float):
+    """dk, dv for one (batch, head, k-block): stream Q/dO/lse/delta blocks.
+    dv = p^T @ dO; dk = scale * ds^T @ q."""
+    from jax.experimental import pallas as pl
+
+    block_k = k_ref.shape[2]
+    seq_len = q_ref.shape[2]
+    k_idx = pl.program_id(2)
+
+    k_blk = k_ref[0, 0].astype(jnp.float32)
+    v_blk = v_ref[0, 0].astype(jnp.float32)
+    k_valid = valid_ref[0, 0, pl.ds(k_idx * block_k, block_k)]
+    k_seg = seg_ref[0, 0, pl.ds(k_idx * block_k, block_k)]
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)]
+        q_valid = valid_ref[0, 0, pl.ds(qb * block_q, block_q)]
+        q_seg = seg_ref[0, 0, pl.ds(qb * block_q, block_q)]
+
+        s = jnp.dot(q * scale, k_blk.T, preferred_element_type=jnp.float32)
+        mask = (q_valid[:, None] > 0) & (k_valid[None, :] > 0) & \
+            (q_seg[:, None] == k_seg[None, :])
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jnp.exp(s - lse[:, None])  # [bq, bk]
+
+        dv_acc = dv_acc + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        dk_acc = dk_acc + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    num_qb = seq_len // block_q
+    zeros = jnp.zeros_like(k_blk)
+    dk, dv = lax.fori_loop(0, num_qb, body, (zeros, jnp.zeros_like(v_blk)))
+    dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
 def _flash_fwd_rule(q, k, v, is_valid, segment_ids, block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, is_valid, segment_ids, block_q, block_k, interpret)
-    return out, (q, k, v, is_valid, segment_ids)
+    out, lse = _flash_forward(q, k, v, is_valid, segment_ids, block_q, block_k,
+                              interpret)
+    return out, (q, k, v, is_valid, segment_ids, out, lse)
 
 
 def _flash_bwd_rule(block_q, block_k, interpret, residuals, g):
-    q, k, v, is_valid, segment_ids = residuals
+    from jax.experimental import pallas as pl
 
-    def dense(q_, k_, v_):
-        bias = make_attention_bias(is_valid=is_valid, segment_ids=segment_ids,
-                                   dtype=jnp.float32)
-        return xla_attention(q_, k_, v_, bias=bias)
+    q, k, v, is_valid, segment_ids, out, lse = residuals
+    B, L, H, D = q.shape
+    scale = 1.0 / np.sqrt(D)
 
-    _, vjp = jax.vjp(dense, q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None, None
+    # delta_i = rowsum(dO * O): one fused elementwise reduce, [B, H, Lp]
+    delta = jnp.einsum("blhd,blhd->bhl", g.astype(jnp.float32),
+                       out.astype(jnp.float32))
+
+    q, k, v, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
+        q, k, v, is_valid, segment_ids, max(block_q, block_k))
+    g_p = jnp.pad(g, [(0, 0), (0, pad), (0, 0), (0, 0)]) if pad else g
+    delta = jnp.pad(delta, [(0, 0), (0, 0), (0, pad)]) if pad else delta
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    dot = g_p.transpose(0, 2, 1, 3)
+    valid3 = is_valid[:, None, :]
+    segs3 = segment_ids[:, None, :]
+
+    label_spec = pl.BlockSpec((1, 1, Lp), lambda b, h, i: (b, 0, 0))
+    full_spec = pl.BlockSpec((1, 1, Lp, D), lambda b, h, i: (b, h, 0, 0))
+    rowblk_spec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0))
+    rowstat_spec = pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i))
+    fullstat_spec = pl.BlockSpec((1, 1, Lp), lambda b, h, i: (b, h, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
+        grid=(B, H, Lp // block_q),
+        in_specs=[label_spec, label_spec, rowblk_spec, full_spec, full_spec,
+                  rowblk_spec, rowstat_spec, rowstat_spec],
+        out_specs=rowblk_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Lp, D), q.dtype),
+        interpret=interpret,
+    )(valid3, segs3, qt, kt, vt, dot, lse, delta)
+
+    kblk_spec = pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, scale=scale),
+        grid=(B, H, Lp // block_k),
+        in_specs=[label_spec, label_spec, full_spec, kblk_spec, kblk_spec,
+                  full_spec, fullstat_spec, fullstat_spec],
+        out_specs=(kblk_spec, kblk_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, H, Lp, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, H, Lp, D), v.dtype)),
+        interpret=interpret,
+    )(valid3, segs3, qt, kt, vt, dot, lse, delta)
+
+    def unpack(x):
+        x = x.transpose(0, 2, 1, 3)
+        return x[:, :L] if pad else x
+
+    return unpack(dq), unpack(dk), unpack(dv), None, None
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
