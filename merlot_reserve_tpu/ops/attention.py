@@ -93,7 +93,7 @@ def _flash_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
     valid_ref/seg_ref: [1, 1, L] int32 position labels for the whole row.
     q_ref: [1, 1, block_q, d]; k_ref/v_ref: [1, 1, L, d]; o_ref: [1, 1, block_q, d];
-    lse_ref: [1, 1, block_q] log-sum-exp per row (saved for the backward).
+    lse_ref: [1, 1, 1, block_q] log-sum-exp per row (saved for the backward).
     """
     from jax.experimental import pallas as pl  # deferred: CPU tests may lack mosaic
 
@@ -135,7 +135,7 @@ def _flash_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     # fully-masked rows (invalid queries) keep l == 0; emit zeros for them
     l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
     o_ref[0, 0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse_ref[0, 0] = m_fin + jnp.log(l_safe)
+    lse_ref[0, 0, 0] = m_fin + jnp.log(l_safe)
 
 
 def _pad_for_blocks(q, k, v, is_valid, segment_ids, block: int):
@@ -209,11 +209,13 @@ def _flash_forward(q, k, v, is_valid, segment_ids, block_q=128, block_k=128,
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i)),
+            # row stats live as [B, H, 1, Lp] so the (sublane, lane) tile is
+            # (1, block_q) — lane-aligned on TPU
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i: (b, h, 0, i)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, Lp, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1, Lp), jnp.float32),
         ),
         interpret=interpret,
     )(valid3, segs3, qt, kt, vt)
@@ -221,7 +223,7 @@ def _flash_forward(q, k, v, is_valid, segment_ids, block_q=128, block_k=128,
     out = out.transpose(0, 2, 1, 3)
     if pad:
         out = out[:, :L]
-    return out, lse  # lse stays padded [B, H, Lp] for the bwd kernels
+    return out, lse  # lse stays padded [B, H, 1, Lp] for the bwd kernels
 
 
 def _flash_bwd_dq_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
@@ -237,8 +239,8 @@ def _flash_bwd_dq_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, do_ref, lse_re
 
     q = q_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0]      # [block_q]
-    delta = delta_ref[0, 0]  # [block_q]
+    lse = lse_ref[0, 0, 0]      # [block_q]
+    delta = delta_ref[0, 0, 0]  # [block_q]
     q_valid = valid_ref[0, 0, pl.ds(q_idx * block_q, block_q)]
     q_seg = seg_ref[0, 0, pl.ds(q_idx * block_q, block_q)]
 
@@ -280,8 +282,8 @@ def _flash_bwd_dkv_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, do_ref, lse_r
         dk_acc, dv_acc = carry
         q = q_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)]
-        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)]
+        lse = lse_ref[0, 0, 0, pl.ds(qb * block_q, block_q)]
+        delta = delta_ref[0, 0, 0, pl.ds(qb * block_q, block_q)]
         q_valid = valid_ref[0, 0, pl.ds(qb * block_q, block_q)]
         q_seg = seg_ref[0, 0, pl.ds(qb * block_q, block_q)]
 
@@ -319,12 +321,12 @@ def _flash_bwd_rule(block_q, block_k, interpret, residuals, g):
 
     # delta_i = rowsum(dO * O): one fused elementwise reduce, [B, H, Lp]
     delta = jnp.einsum("blhd,blhd->bhl", g.astype(jnp.float32),
-                       out.astype(jnp.float32))
+                       out.astype(jnp.float32))[:, :, None, :]
 
     q, k, v, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
         q, k, v, is_valid, segment_ids, max(block_q, block_k))
     g_p = jnp.pad(g, [(0, 0), (0, pad), (0, 0), (0, 0)]) if pad else g
-    delta = jnp.pad(delta, [(0, 0), (0, 0), (0, pad)]) if pad else delta
+    delta = jnp.pad(delta, [(0, 0), (0, 0), (0, 0), (0, pad)]) if pad else delta
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -336,8 +338,8 @@ def _flash_bwd_rule(block_q, block_k, interpret, residuals, g):
     label_spec = pl.BlockSpec((1, 1, Lp), lambda b, h, i: (b, 0, 0))
     full_spec = pl.BlockSpec((1, 1, Lp, D), lambda b, h, i: (b, h, 0, 0))
     rowblk_spec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0))
-    rowstat_spec = pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i))
-    fullstat_spec = pl.BlockSpec((1, 1, Lp), lambda b, h, i: (b, h, 0))
+    rowstat_spec = pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i: (b, h, 0, i))
+    fullstat_spec = pl.BlockSpec((1, 1, 1, Lp), lambda b, h, i: (b, h, 0, 0))
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
