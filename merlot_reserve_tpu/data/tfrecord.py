@@ -48,9 +48,18 @@ def _masked_crc(data: bytes) -> int:
     return ((crc >> 15) | (crc << 17)) + 0xA282EAD8 & 0xFFFFFFFF
 
 
+def _open(path: str, mode: str):
+    """Open local or gs:// paths (GCS via tf.io.gfile when available)."""
+    if path.startswith(("gs://", "s3://")):
+        from tensorflow.io import gfile  # optional dep, only for cloud paths
+
+        return gfile.GFile(path, mode)
+    return open(path, mode)
+
+
 def read_records(path: str, check_crc: bool = False) -> Iterator[bytes]:
-    """Iterate raw record payloads from a TFRecord file."""
-    with open(path, "rb") as f:
+    """Iterate raw record payloads from a TFRecord file (local or gs://)."""
+    with _open(path, "rb") as f:
         while True:
             header = f.read(12)
             if len(header) < 12:
@@ -72,7 +81,7 @@ def read_records(path: str, check_crc: bool = False) -> Iterator[bytes]:
 
 
 def write_records(path: str, records: Sequence[bytes]):
-    with open(path, "wb") as f:
+    with _open(path, "wb") as f:
         for rec in records:
             header = struct.pack("<Q", len(rec))
             f.write(header)
@@ -205,6 +214,56 @@ def parse_example(record: bytes) -> Dict[str, Union[List[bytes], np.ndarray]]:
 # --------------------------------------------------------------------------
 # encoding (tests + dataset creation)
 # --------------------------------------------------------------------------
+
+
+class ShufflingRecordWriter:
+    """Record writer with an in-memory shuffle buffer — the reference's
+    GCSTFRecordWriter convention (/root/reference/data/data_utils.py:10-66):
+    records accumulate into a buffer and flush in random order, decorrelating
+    neighboring source videos within a shard."""
+
+    def __init__(self, path: str, buffer_size: int = 1024, seed: int = 0):
+        import random as _random
+
+        self._path = path
+        self._buffer_size = buffer_size
+        self._rng = _random.Random(seed)
+        self._buffer: list = []
+        self._file = _open(path, "wb")
+        self.num_written = 0
+
+    def write(self, record: bytes):
+        self._buffer.append(record)
+        if len(self._buffer) >= self._buffer_size:
+            self._flush_half()
+
+    def _write_one(self, rec: bytes):
+        header = struct.pack("<Q", len(rec))
+        self._file.write(header)
+        self._file.write(struct.pack("<I", _masked_crc(header)))
+        self._file.write(rec)
+        self._file.write(struct.pack("<I", _masked_crc(rec)))
+        self.num_written += 1
+
+    def _flush_half(self):
+        self._rng.shuffle(self._buffer)
+        half = len(self._buffer) // 2
+        for rec in self._buffer[:half]:
+            self._write_one(rec)
+        self._buffer = self._buffer[half:]
+
+    def close(self):
+        self._rng.shuffle(self._buffer)
+        for rec in self._buffer:
+            self._write_one(rec)
+        self._buffer = []
+        self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def _field(field_num: int, wire_type: int, payload: bytes) -> bytes:

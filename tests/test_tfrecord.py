@@ -63,3 +63,16 @@ def test_tf_parses_our_record(tmp_path):
     assert parsed["s"].values.numpy().tolist() == [b"abc"]
     np.testing.assert_allclose(parsed["f"].values.numpy(), [3.75])
     np.testing.assert_array_equal(parsed["i"].values.numpy(), [-99, 5])
+
+
+def test_shuffling_writer(tmp_path):
+    from merlot_reserve_tpu.data.tfrecord import ShufflingRecordWriter
+
+    path = os.path.join(tmp_path, "shuf.tfrecord")
+    recs = [T.encode_example({"i": T.int64_feature([i])}) for i in range(50)]
+    with ShufflingRecordWriter(path, buffer_size=16, seed=1) as w:
+        for r in recs:
+            w.write(r)
+    out = [int(T.parse_example(r)["i"][0]) for r in T.read_records(path, check_crc=True)]
+    assert sorted(out) == list(range(50))
+    assert out != list(range(50))  # actually shuffled
