@@ -1,21 +1,23 @@
-"""Benchmark: video segments/sec/chip for the encode path (BASELINE.json).
+"""Benchmark: video segments/sec/chip for PREPROCESS + ENCODE (BASELINE.json
+north star: "a raw video segment goes decode-to-embedding on device").
 
-Measures batched ``embed_video`` (vision tower + audio tower + joint
-transformer + projection) on the real device for:
-  * this framework (merlot_reserve_tpu), and
-  * the reference implementation (/root/reference/mreserve/modeling.py, run
-    as-is under jit on the same chip, driven by the same param tree — the
-    trees are compatible by construction),
-and prints ONE json line with segments/sec/chip and the ratio.
+Workload (config 1/2 shape): batches of 8 videos x 8 five-second segments.
+Inputs are raw decoded media — uint8 frames [180, 320, 3] and 22050 Hz PCM —
+through to unit-normalized joint embeddings.
 
-Methodology: the remote-attached dev chip re-uploads non-donated args per
-execution and has ~30ms dispatch overhead, so each measurement chains N
-model invocations inside ONE jit execution (serialized by a data dependency)
-and reports (t(N) - t(1)) / (N - 1) — pure device compute throughput, which
-is what transfers to production TPUs where input feeding is pipelined.
+  * THIS framework: one jit'd device program — resize+patchify (ops/vision),
+    matmul-DFT log-mel (ops/audio), towers, joint transformer.
+  * REFERENCE pipeline: its host preprocessing (librosa-semantics mel via
+    scipy FFT + TF resize_and_pad/space_to_depth, exactly
+    mreserve/preprocess.py:121-156,464-481) followed by its model's
+    batch_embed_video on the same chip (driven by the same params; trees are
+    compatible by construction). Host and device stages are timed separately
+    and combined as max() — i.e. we GRANT the baseline perfect host/device
+    pipelining, which the sequential reference demo path doesn't even have.
 
-The reference publishes no numbers (BASELINE.md); the baseline is measured
-here, same chip, same shapes, same dtype.
+Device timings chain N invocations inside one jit execution and report
+(t(N)-t(1))/(N-1) to cancel the dev-chip's per-execution relay overhead
+(see CLAUDE.md). Prints ONE json line.
 """
 
 import json
@@ -27,61 +29,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-N_VIDEOS = 8        # videos per batch
-N_SEG = 8           # segments per video
-CHAIN = 8           # model invocations chained per jit execution
+N_VIDEOS = 8
+N_SEG = 8
+CHAIN = 8
+FRAME_H, FRAME_W = 180, 320
+SR = 22050
+SAMPLES = SR * 5  # 110250 per segment
 
 
-def _inputs(cfg, rng):
-    import jax.numpy as jnp
-
-    grid_hw = cfg.model.vit_seq_len
-    images = rng.randn(N_VIDEOS, N_SEG, grid_hw, 768).astype(np.float32)
-    audio = rng.randn(N_VIDEOS, 3 * N_SEG, 60, 65).astype(np.float32)
+def _raw_inputs(rng):
+    frames = rng.randint(0, 256, (N_VIDEOS, N_SEG, FRAME_H, FRAME_W, 3),
+                         dtype=np.uint8)
+    pcm = (0.1 * rng.randn(N_VIDEOS, N_SEG, SAMPLES)).astype(np.float32)
     tokens = np.zeros((N_VIDEOS, 160), np.int32)
     tokens[:, :144] = 5  # AUDIOSPAN
     subseg = np.zeros((N_VIDEOS, 160), np.int32)
     subseg[:, :144] = (np.arange(144) // 6)[None]
-    return tuple(map(jnp.asarray, (images, audio, tokens, subseg)))
+    return frames, pcm, tokens, subseg
 
 
-def _make_chained(apply_fn, n):
-    """Build fn(params, images, audio, tokens, subseg) running `n` serialized
-    model invocations (each depends on the previous output)."""
-    import jax
-    import jax.numpy as jnp
-
-    def chained(params, images, audio, tokens, subseg):
-        def body(i, carry):
-            s, _ = carry
-            out = apply_fn(params, images + s * 1e-20, audio, tokens, subseg)
-            return (out.astype(jnp.float32).reshape(-1)[0], out)
-
-        s0 = jnp.float32(0.0)
-        out0 = apply_fn(params, images, audio, tokens, subseg)
-        s, out = jax.lax.fori_loop(0, n - 1, body, (out0.astype(jnp.float32).reshape(-1)[0], out0))
-        return params, out.reshape(-1)[:8]
-
-    return jax.jit(chained, donate_argnums=(0,), static_argnums=())
-
-
-def _time_chained(apply_fn, params, args):
-    import numpy as _np
-
-    fns = {n: _make_chained(apply_fn, n) for n in (1, CHAIN)}
+def _time_device(fn_maker, params, args):
+    """Chained-iteration device timing; returns (sec_per_iter, params)."""
     times = {}
-    for n, fn in fns.items():
-        params, out = fn(params, *args)  # compile + run
-        _np.asarray(out)
+    for n in (1, CHAIN):
+        fn = fn_maker(n)
+        params, out = fn(params, *args)
+        np.asarray(out)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             params, out = fn(params, *args)
-            _np.asarray(out)
+            np.asarray(out)
             best = min(best, time.perf_counter() - t0)
         times[n] = best
-    per_iter = (times[CHAIN] - times[1]) / (CHAIN - 1)
-    return max(per_iter, 1e-9), params
+    return max((times[CHAIN] - times[1]) / (CHAIN - 1), 1e-9), params
 
 
 def main():
@@ -94,59 +75,174 @@ def main():
 
     import merlot_reserve_tpu as mr
     from merlot_reserve_tpu.models import MerlotReserve
+    from merlot_reserve_tpu.ops.audio import make_spectrogram
+    from merlot_reserve_tpu.ops.vision import preprocess_image_to_patches
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = mr.load_config("base", use_bfloat16=on_tpu)
     model = MerlotReserve.from_config(cfg)
+    grid = tuple(cfg.model.output_grid)
 
     rng = np.random.RandomState(0)
-    images, audio, tokens, subseg = _inputs(cfg, rng)
-    args1 = (images[0], audio[0], tokens[0], subseg[0])
+    frames_np, pcm_np, tokens_np, subseg_np = _raw_inputs(rng)
+    frames = jnp.asarray(frames_np)
+    pcm = jnp.asarray(pcm_np)
+    tokens = jnp.asarray(tokens_np)
+    subseg = jnp.asarray(subseg_np)
+
+    # init params via the encode path
+    dummy_images = jnp.zeros((N_SEG, grid[0] * grid[1], 768))
+    dummy_audio = jnp.zeros((3 * N_SEG, 60, 65))
     params = model.init_params(
-        dict(zip(("images", "audio_clips", "tokens", "subseg_idxs"), args1)),
-        method="embed_video")
+        {"images": dummy_images, "audio_clips": dummy_audio,
+         "tokens": tokens[0], "subseg_idxs": subseg[0]}, method="embed_video")
     params = jax.device_put(params)
-    batch_args = (images, audio, tokens, subseg)
 
-    def my_apply(p, *a):
-        return model.apply({"params": p}, *a, method=model.batch_embed_video)
+    # ---- ours: preprocess + encode fused in one device program ----
+    def preprocess_and_encode(p, frames, pcm, tokens, subseg):
+        def one_video(fr, au, tok, sub):
+            patches = jax.vmap(
+                lambda im: preprocess_image_to_patches(im, grid))(fr)
+            specs = make_spectrogram(au)  # [N_SEG, 3, 60, 65]
+            specs = specs.reshape(-1, 60, 65)
+            return model.apply({"params": p}, patches, specs, tok, sub,
+                               method=model.embed_video)
 
-    dt_mine, params = _time_chained(my_apply, params, batch_args)
-    segs_per_sec = N_VIDEOS * N_SEG / dt_mine
+        return jax.vmap(one_video)(frames, pcm, tokens, subseg)
 
-    # ---- reference baseline on the same chip ----
-    ref_segs_per_sec = None
+    def make_chained(n):
+        def chained(p, frames, pcm, tokens, subseg):
+            def body(i, carry):
+                s, _ = carry
+                out = preprocess_and_encode(p, frames, pcm + s * 1e-20, tokens,
+                                            subseg)
+                return (out.astype(jnp.float32).reshape(-1)[0], out)
+
+            out0 = preprocess_and_encode(p, frames, pcm, tokens, subseg)
+            s, out = jax.lax.fori_loop(
+                0, n - 1, body, (out0.astype(jnp.float32).reshape(-1)[0], out0))
+            return p, out.reshape(-1)[:8]
+
+        return jax.jit(chained, donate_argnums=(0,))
+
+    dt_mine, params = _time_device(make_chained, params,
+                                   (frames, pcm, tokens, subseg))
+    segs_mine = N_VIDEOS * N_SEG / dt_mine
+
+    # ---- reference pipeline: host preprocessing + on-chip encode ----
+    ref_segs = None
     try:
-        sys.path.insert(0, "/root/reference")
-        import mreserve.modeling as ref_modeling
-        import yaml
-
-        from merlot_reserve_tpu.utils.checkpoint import unstack_layer_params
-
-        with open("/root/reference/pretrain/configs/base.yaml") as f:
-            ref_cfg = yaml.safe_load(f)
-        ref_cfg["model"]["use_bfloat16"] = on_tpu
-        ref_model = ref_modeling.MerlotReserve.from_config(ref_cfg)
-
-        def ref_apply(p, *a):
-            return ref_model.apply({"params": p}, *a,
-                                   method=ref_model.batch_embed_video)
-
-        ref_params = jax.device_put(unstack_layer_params(params))
-        dt_ref, _ = _time_chained(ref_apply, ref_params, batch_args)
-        ref_segs_per_sec = N_VIDEOS * N_SEG / dt_ref
-    except Exception as e:  # reference not available / not runnable here
+        dt_ref_host = _reference_host_preprocess_time(frames_np, pcm_np, grid)
+        dt_ref_dev = _reference_encode_time(params, cfg, grid, tokens, subseg,
+                                            rng)
+        # grant the baseline perfect pipelining
+        dt_ref = max(dt_ref_host, dt_ref_dev)
+        ref_segs = N_VIDEOS * N_SEG / dt_ref
+        print(f"# ref host preprocess: {dt_ref_host*1000:.1f}ms/batch; "
+              f"ref encode: {dt_ref_dev*1000:.1f}ms/batch", file=sys.stderr)
+    except Exception as e:
         print(f"# reference baseline unavailable: {type(e).__name__}: {e}",
               file=sys.stderr)
 
-    result = {
-        "metric": "video segments/sec/chip (batched embed_video, base, 12x20)",
-        "value": round(segs_per_sec, 2),
+    print(json.dumps({
+        "metric": "video segments/sec/chip (raw frames+PCM -> joint embeddings,"
+                  " base 12x20)",
+        "value": round(segs_mine, 2),
         "unit": "segments/sec/chip",
-        "vs_baseline": round(segs_per_sec / ref_segs_per_sec, 3)
-        if ref_segs_per_sec else None,
-    }
-    print(json.dumps(result))
+        "vs_baseline": round(segs_mine / ref_segs, 3) if ref_segs else None,
+    }))
+
+
+def _reference_host_preprocess_time(frames_np, pcm_np, grid) -> float:
+    """The reference's host preprocessing per batch: librosa-semantics mel
+    (scipy FFT, hann, slaney filterbank — mreserve/preprocess.py:121-156) +
+    TF resize_and_pad + space_to_depth (preprocess.py:464-481)."""
+    import scipy.signal
+
+    sys.path.insert(0, "/root/reference")
+    import tensorflow as tf
+
+    tf.config.experimental.set_visible_devices([], "GPU")
+    from pretrain.data_utils import resize_and_pad as ref_resize_and_pad
+
+    from merlot_reserve_tpu.ops.audio import mel_filterbank
+
+    n_fft, hop = 1536, 588
+    window = scipy.signal.windows.hann(n_fft)
+    mel_w = mel_filterbank(SR, n_fft, 64, 20.0, 11025.0)  # same as librosa's
+
+    def host_mel(y):
+        pad = n_fft // 2
+        ypad = np.pad(y, pad, mode="reflect")
+        n_frames = 1 + (len(ypad) - n_fft) // hop
+        idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+        spec = np.fft.rfft(ypad[idx] * window[None, :], axis=-1)
+        power = np.abs(spec) ** 2
+        return power @ mel_w
+
+    def preprocess_batch():
+        for v in range(N_VIDEOS):
+            for s in range(N_SEG):
+                mel = host_mel(pcm_np[v, s])
+                log_mel = np.log(mel + 0.1) - np.log(0.1)
+                img = tf.image.convert_image_dtype(frames_np[v, s], tf.float32)
+                img, _ = ref_resize_and_pad(img, (grid[0] * 16, grid[1] * 16),
+                                            do_random_scale=False,
+                                            do_flip_if_vertical=False,
+                                            resize_method="bilinear")
+                patches = tf.nn.space_to_depth(img[None], 16)
+                _ = np.asarray(tf.reshape(patches, [grid[0] * grid[1], 768]))
+                _ = log_mel
+
+    preprocess_batch()  # warm tf graphs
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        preprocess_batch()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _reference_encode_time(params, cfg, grid, tokens, subseg, rng) -> float:
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    sys.path.insert(0, "/root/reference")
+    import mreserve.modeling as ref_modeling
+
+    from merlot_reserve_tpu.utils.checkpoint import unstack_layer_params
+
+    with open("/root/reference/pretrain/configs/base.yaml") as f:
+        ref_cfg = yaml.safe_load(f)
+    ref_cfg["model"]["use_bfloat16"] = jax.default_backend() == "tpu"
+    ref_model = ref_modeling.MerlotReserve.from_config(ref_cfg)
+
+    images = jnp.asarray(rng.randn(N_VIDEOS, N_SEG, grid[0] * grid[1], 768)
+                         .astype(np.float32))
+    audio = jnp.asarray(rng.randn(N_VIDEOS, 3 * N_SEG, 60, 65).astype(np.float32))
+
+    def make_chained(n):
+        def chained(p, images, audio, tokens, subseg):
+            def body(i, carry):
+                s, _ = carry
+                out = ref_model.apply({"params": p}, images + s * 1e-20, audio,
+                                      tokens, subseg,
+                                      method=ref_model.batch_embed_video)
+                return (out.astype(jnp.float32).reshape(-1)[0], out)
+
+            out0 = ref_model.apply({"params": p}, images, audio, tokens, subseg,
+                                   method=ref_model.batch_embed_video)
+            s, out = jax.lax.fori_loop(
+                0, n - 1, body, (out0.astype(jnp.float32).reshape(-1)[0], out0))
+            return p, out.reshape(-1)[:8]
+
+        return jax.jit(chained, donate_argnums=(0,))
+
+    ref_params = jax.device_put(unstack_layer_params(params))
+    dt, _ = _time_device(make_chained, ref_params,
+                         (images, audio, tokens, subseg))
+    return dt
 
 
 if __name__ == "__main__":
