@@ -85,12 +85,27 @@ class PretrainLoader:
         stop = threading.Event()
 
         def producer():
+            # NOTE: Executor.map consumes its iterable EAGERLY — on an
+            # infinite (repeat=True) stream it would submit forever. Keep a
+            # bounded window of in-flight decode jobs instead.
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    from collections import deque
+
+                    stream = self._record_stream()
+                    window = max(2 * self.num_workers, self.batch_size)
+                    inflight = deque()
                     batch_examples = []
-                    for ex in pool.map(self._build_one, self._record_stream()):
-                        if stop.is_set():
-                            return
+                    while not stop.is_set():
+                        while len(inflight) < window:
+                            try:
+                                inflight.append(
+                                    pool.submit(self._build_one, next(stream)))
+                            except StopIteration:
+                                break
+                        if not inflight:
+                            break
+                        ex = inflight.popleft().result()
                         batch_examples.append(ex)
                         if len(batch_examples) == self.batch_size:
                             out_q.put(collate_batch(batch_examples,

@@ -43,6 +43,34 @@ def _decode_jpeg(data: bytes, channels: int = 3) -> np.ndarray:
     return np.asarray(img)
 
 
+def host_image_to_patches(img: np.ndarray, grid, rng=None,
+                          random_scale=None, patch_size: int = 16) -> np.ndarray:
+    """Host-side (PIL+numpy) resize_and_pad + space_to_depth: aspect-preserving
+    resize into the grid box (optionally scale-jittered with a random crop
+    offset, cf. data_utils.py:42-147), zero pad, patchify."""
+    from PIL import Image
+
+    dh, dw = grid[0] * patch_size, grid[1] * patch_size
+    h, w = img.shape[:2]
+    scale = min(dh / h, dw / w)
+    off_y = off_x = 0
+    if rng is not None and random_scale is not None:
+        scale = scale * rng.uniform(random_scale[0], random_scale[1])
+    sh, sw = max(int(h * scale), 1), max(int(w * scale), 1)
+    resized = np.asarray(
+        Image.fromarray(img).resize((sw, sh), Image.BILINEAR), np.float32) / 255.0
+    if rng is not None:
+        off_y = int(rng.integers(0, max(sh - dh, 0) + 1))
+        off_x = int(rng.integers(0, max(sw - dw, 0) + 1))
+    resized = resized[off_y:off_y + dh, off_x:off_x + dw]
+    out = np.zeros((dh, dw, 3), np.float32)
+    out[:resized.shape[0], :resized.shape[1]] = resized
+    # space_to_depth (tf.nn layout)
+    gh, gw = grid
+    x = out.reshape(gh, patch_size, gw, patch_size, 3).swapaxes(1, 2)
+    return x.reshape(gh * gw, patch_size * patch_size * 3)
+
+
 def parse_segment_record(record: bytes, num_segments: int) -> List[Dict]:
     """One TFRecord example -> list of per-segment feature dicts."""
     raw = parse_example(record)
@@ -79,13 +107,16 @@ class PretrainExampleBuilder:
     # -- decode --------------------------------------------------------
 
     def decode_image(self, seg: Dict, rng: np.random.Generator) -> np.ndarray:
-        """JPEG -> [grid_h*grid_w, P*P*3] patches. Training-time random scale
-        is applied as a resize target jitter (the reference randomizes
+        """JPEG -> [grid_h*grid_w, P*P*3] patches, entirely on HOST (PIL +
+        numpy): the loader must never touch the accelerator — it runs in
+        worker threads while the device executes train steps. Training-time
+        random scale jitters the resize target (the reference randomizes
         scale/resize-method through TF, dataloader.py:63-85)."""
-        from merlot_reserve_tpu.ops.vision import preprocess_image_to_patches
-
         img = _decode_jpeg(bytes(seg["image/encoded"][0]), channels=3)
-        return np.asarray(preprocess_image_to_patches(img, tuple(self.cfg.model.output_grid)))
+        return host_image_to_patches(img, tuple(self.cfg.model.output_grid),
+                                     rng=rng,
+                                     random_scale=(self.cfg.data.random_scale_min,
+                                                   self.cfg.data.random_scale_max))
 
     def decode_audio(self, seg: Dict, rng: np.random.Generator):
         """Spectrogram JPEG + magic number -> [num_subsegments, 60, 65] with

@@ -29,10 +29,10 @@ def _decode_jpeg(data: bytes, channels: int = 3) -> np.ndarray:
 
 
 def _img_to_patches(data: bytes, cfg: MerlotConfig) -> np.ndarray:
-    from merlot_reserve_tpu.ops.vision import preprocess_image_to_patches
+    # host path (PIL+numpy): loaders must not touch the accelerator
+    from merlot_reserve_tpu.data.pretrain_pipeline import host_image_to_patches
 
-    return np.asarray(preprocess_image_to_patches(
-        _decode_jpeg(data), tuple(cfg.model.output_grid)))
+    return host_image_to_patches(_decode_jpeg(data), tuple(cfg.model.output_grid))
 
 
 def _pad_to(x: np.ndarray, length: int, pad_value: int = 0) -> np.ndarray:
