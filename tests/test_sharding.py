@@ -1,0 +1,66 @@
+"""Sharding rules: ZeRO-1 opt-state placement, tp param specs, batch specs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import merlot_reserve_tpu as mr
+from merlot_reserve_tpu.data.dummy import make_dummy_batch
+from merlot_reserve_tpu.models import MerlotReservePretrainer
+from merlot_reserve_tpu.parallel import make_mesh
+from merlot_reserve_tpu.parallel.sharding import (
+    batch_sharding,
+    opt_state_shardings,
+    param_shardings,
+)
+from merlot_reserve_tpu.training.optimization import construct_train_state
+
+
+@pytest.fixture(scope="module")
+def small_state():
+    cfg = mr.load_config("base", hidden_size=64, joint_num_layers=2,
+                         vit_num_layers=2, audio_num_layers=2, span_num_layers=2,
+                         size_per_head=32, output_grid=(4, 4), use_bfloat16=False)
+    cfg = cfg.replace_data(num_segments=4, num_segment_groups=2, seq_len=80,
+                           lang_seq_len=40, num_text_spans_to_include=8)
+    model = MerlotReservePretrainer.from_config(cfg)
+    batch = make_dummy_batch(cfg, batch_size=2, seed=0, num_text_spans=16)
+    params = model.init_params(batch)
+    return construct_train_state(cfg.optimizer, model, params)
+
+
+def test_zero1_moments_sharded(small_state, cpu_devices):
+    mesh = make_mesh(dp=8, tp=1, devices=cpu_devices[:8])
+    shardings = opt_state_shardings(mesh, small_state.opt_state, zero1=True)
+    mu_shardings = jax.tree_util.tree_leaves(
+        shardings[0].mu if hasattr(shardings[0], "mu") else shardings[0][1])
+    # every moment leaf with a dim divisible by 8 must be dp-sharded
+    mu_leaves = jax.tree_util.tree_leaves(small_state.opt_state[0].mu)
+    n_sharded = 0
+    for leaf, sh in zip(mu_leaves, mu_shardings):
+        spec = sh.spec
+        if any(d % 8 == 0 and d >= 8 for d in leaf.shape):
+            assert "dp" in tuple(spec), (leaf.shape, spec)
+            n_sharded += 1
+    assert n_sharded > 0
+
+
+def test_param_tp_rules(small_state, cpu_devices):
+    mesh = make_mesh(dp=4, tp=2, devices=cpu_devices[:8])
+    shardings = param_shardings(mesh, small_state.params)
+    flat, _ = jax.tree_util.tree_flatten_with_path(shardings)
+    by_path = {"/".join(str(getattr(k, "key", k)) for k in p): s for p, s in flat}
+    mlp_up = [s for p, s in by_path.items() if p.endswith("intermediate/kernel")]
+    assert mlp_up and all("tp" in tuple(s.spec) for s in mlp_up)
+    ln = [s for p, s in by_path.items() if "pre_attn_ln/scale" in p]
+    assert ln and all(s.spec == P() for s in ln)
+
+
+def test_batch_sharding_placement(cpu_devices):
+    mesh = make_mesh(dp=8, tp=1, devices=cpu_devices[:8])
+    sh = batch_sharding(mesh)
+    x = jax.device_put(np.zeros((16, 4)), sh)
+    assert len(x.addressable_shards) == 8
+    assert x.addressable_shards[0].data.shape == (2, 4)
