@@ -112,18 +112,39 @@ class PretrainExampleBuilder:
         worker threads while the device executes train steps. Training-time
         random scale jitters the resize target (the reference randomizes
         scale/resize-method through TF, dataloader.py:63-85)."""
-        img = _decode_jpeg(bytes(seg["image/encoded"][0]), channels=3)
-        return host_image_to_patches(img, tuple(self.cfg.model.output_grid),
-                                     rng=rng,
-                                     random_scale=(self.cfg.data.random_scale_min,
-                                                   self.cfg.data.random_scale_max))
+        data = bytes(seg["image/encoded"][0])
+        grid = tuple(self.cfg.model.output_grid)
+        scale_rng = (self.cfg.data.random_scale_min, self.cfg.data.random_scale_max)
+
+        from merlot_reserve_tpu.data import native as N
+
+        if N.native_available():
+            img = N.decode_jpeg_native(data, channels=3)
+            h, w = img.shape[:2]
+            dh, dw = grid[0] * 16, grid[1] * 16
+            mult = float(rng.uniform(*scale_rng))
+            sh = int(h * min(dh / h, dw / w) * mult)
+            sw = int(w * min(dh / h, dw / w) * mult)
+            off_y = int(rng.integers(0, max(sh - dh, 0) + 1))
+            off_x = int(rng.integers(0, max(sw - dw, 0) + 1))
+            return N.resize_patchify_native(img, grid, scale_mult=mult,
+                                            off_y=off_y, off_x=off_x)
+
+        img = _decode_jpeg(data, channels=3)
+        return host_image_to_patches(img, grid, rng=rng, random_scale=scale_rng)
 
     def decode_audio(self, seg: Dict, rng: np.random.Generator):
         """Spectrogram JPEG + magic number -> [num_subsegments, 60, 65] with
         random subsegment placement; returns (clips, start_t, end_t)
         (dataloader.py:88-128)."""
         d = self.cfg.data
-        spec = _decode_jpeg(bytes(seg["spectrogram/encoded"][0]), channels=1)
+        from merlot_reserve_tpu.data import native as N
+
+        spec_bytes = bytes(seg["spectrogram/encoded"][0])
+        if N.native_available():
+            spec = N.decode_jpeg_native(spec_bytes, channels=1)
+        else:
+            spec = _decode_jpeg(spec_bytes, channels=1)
         spec = spec.reshape(d.num_mels, d.spec_size).T  # [T, num_mels]
         magic = float(_scalar(seg["spectrogram/magic_number"], 1.0))
         playback_speed = int(_scalar(seg.get("playback_speed", [1]), 1))
