@@ -43,6 +43,17 @@ def _decode_jpeg(data: bytes, channels: int = 3) -> np.ndarray:
     return np.asarray(img)
 
 
+def flip_if_vertical(img: np.ndarray) -> np.ndarray:
+    """Rotate portrait videos 90 degrees and pad with 0.5-gray side markers so
+    the model can tell it was flipped (data_utils.py:25-39)."""
+    h, w = img.shape[:2]
+    if h >= 4 * w / 3.0:
+        img = np.rot90(img, k=1, axes=(0, 1))
+        marker = np.full((img.shape[0], 4, img.shape[2]), 128, img.dtype)
+        img = np.concatenate([marker, img, marker], axis=1)
+    return img
+
+
 def host_image_to_patches(img: np.ndarray, grid, rng=None,
                           random_scale=None, patch_size: int = 16) -> np.ndarray:
     """Host-side (PIL+numpy) resize_and_pad + space_to_depth: aspect-preserving
@@ -119,7 +130,7 @@ class PretrainExampleBuilder:
         from merlot_reserve_tpu.data import native as N
 
         if N.native_available():
-            img = N.decode_jpeg_native(data, channels=3)
+            img = flip_if_vertical(N.decode_jpeg_native(data, channels=3))
             h, w = img.shape[:2]
             dh, dw = grid[0] * 16, grid[1] * 16
             mult = float(rng.uniform(*scale_rng))
@@ -130,7 +141,7 @@ class PretrainExampleBuilder:
             return N.resize_patchify_native(img, grid, scale_mult=mult,
                                             off_y=off_y, off_x=off_x)
 
-        img = _decode_jpeg(data, channels=3)
+        img = flip_if_vertical(_decode_jpeg(data, channels=3))
         return host_image_to_patches(img, grid, rng=rng, random_scale=scale_rng)
 
     def decode_audio(self, seg: Dict, rng: np.random.Generator):

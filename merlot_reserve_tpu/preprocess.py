@@ -220,6 +220,74 @@ def video_to_segments_zero_shot(video_fn: str, time_interval: float = 1.0,
     return segments_from_arrays(frames, waveform, fixed)
 
 
+def video_to_segments_for_action_segmentation(video_fn: str,
+                                              time_interval: float = 1.0,
+                                              segment_start_time: float = 0.5
+                                              ) -> List[Dict]:
+    """Dense per-second predictions over a whole video
+    (preprocess.py:349-460 surface): 1-second frame segments; each PAIR of
+    consecutive segments shares one ~4.79 s audio window whose two
+    subsegments (pad_size=0 spectrogram) are assigned one per segment."""
+    duration = video_duration(video_fn) - 0.5
+    times = []
+    st = segment_start_time
+    while (st + time_interval) < duration:
+        et = min(duration, st + time_interval)
+        times.append({"start_time": st, "end_time": et, "mid_time": (st + et) / 2.0})
+        st = et
+
+    frames = extract_frames_from_video(video_fn, [t["mid_time"] for t in times])
+    if frames is None:
+        raise ValueError(f"frame extraction failed for {video_fn}")
+    waveform = extract_audio_waveform(video_fn)
+    return dense_segments_from_arrays(frames, waveform, times)
+
+
+def dense_segments_from_arrays(frames: np.ndarray, waveform: np.ndarray,
+                               times: List[Dict], sr: int = 22050) -> List[Dict]:
+    """Decode-independent core of the action-segmentation variant: audio over
+    each consecutive segment pair -> pad_size=0 spectrogram -> one [1, 60, 65]
+    subsegment per 1-second segment."""
+    from merlot_reserve_tpu.ops.audio import make_spectrogram
+
+    desired_final = int(sr * max(t["end_time"] for t in times))
+    if waveform.size < desired_final:
+        waveform = np.concatenate(
+            [waveform, np.zeros(desired_final - waveform.size, np.float32)])
+
+    total_audio_len = int(sr * 4.79)
+    start_pad = int(sr * 0.05)
+    spectrograms = []
+    end_idx = 0
+    for i in range(len(times) // 2):
+        start_idx = int(sr * times[2 * i]["start_time"])
+        end_idx = int(sr * times[2 * i + 1]["end_time"])
+        wav = waveform[start_idx:end_idx]
+        end_pad = max(total_audio_len - wav.size - start_pad, 0)
+        wav = np.concatenate([np.zeros(start_pad, np.float32), wav,
+                              np.zeros(end_pad, np.float32)])[:total_audio_len]
+        spec = np.asarray(make_spectrogram(wav, pad_size=0, sr=sr))
+        spectrograms.append(spec[0, None])
+        spectrograms.append(spec[1, None])
+    if len(spectrograms) != len(times):  # odd count: one more window
+        wav = waveform[end_idx:]
+        wav = wav[:total_audio_len - start_pad]
+        end_pad = total_audio_len - wav.size - start_pad
+        wav = np.concatenate([np.zeros(start_pad, np.float32), wav,
+                              np.zeros(end_pad, np.float32)])
+        spec = np.asarray(make_spectrogram(wav, pad_size=0, sr=sr))
+        spectrograms.append(spec[0, None])
+
+    out = []
+    for i, (f, s, t) in enumerate(zip(frames, spectrograms, times)):
+        seg = dict(t)
+        seg["frame"] = f
+        seg["spectrogram"] = s
+        seg["idx"] = i
+        out.append(seg)
+    return out
+
+
 def preprocess_video(video_segments: List[Dict], output_grid_size: Tuple[int, int],
                      verbose: bool = False) -> Dict[str, np.ndarray]:
     """Segments -> model inputs (preprocess.py:484-551 surface).

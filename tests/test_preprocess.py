@@ -100,3 +100,31 @@ def test_zero_shot_slice_end_to_end(segments):
                         jnp.asarray(np.array([[10, 11, 0], [12, 13, 14]], np.int32)),
                         method=model.embed_text_spans_only)
     assert spans.shape == (2, 64)
+
+
+def test_dense_segments_for_action_segmentation():
+    """1-second dense segments: pad_size=0 spectrograms, one [1, 60, 65]
+    subsegment per segment (preprocess.py:349-460 semantics)."""
+    rng = np.random.RandomState(3)
+    n = 5  # odd count exercises the leftover-window path
+    frames = rng.randint(0, 256, (n, 120, 160, 3), dtype=np.uint8)
+    sr = 22050
+    waveform = (0.1 * rng.randn(sr * 8)).astype(np.float32)
+    times = [{"start_time": 0.5 + i, "end_time": 1.5 + i,
+              "mid_time": 1.0 + i} for i in range(n)]
+    segs = P.dense_segments_from_arrays(frames, waveform, times)
+    assert len(segs) == n
+    for seg in segs:
+        assert seg["spectrogram"].shape == (1, 60, 65)
+        np.testing.assert_array_equal(seg["spectrogram"][..., 64], 1.0)
+
+
+def test_flip_if_vertical():
+    from merlot_reserve_tpu.data.pretrain_pipeline import flip_if_vertical
+
+    landscape = np.zeros((100, 200, 3), np.uint8)
+    assert flip_if_vertical(landscape).shape == (100, 200, 3)
+    portrait = np.zeros((400, 100, 3), np.uint8)
+    out = flip_if_vertical(portrait)
+    assert out.shape == (100, 408, 3)  # rotated + 4px markers each side
+    assert (out[:, :4] == 128).all()
