@@ -39,7 +39,7 @@ class PretrainLoader:
                  host_index: int = 0, num_hosts: int = 1,
                  seed: Optional[int] = None, num_workers: int = 8,
                  prefetch: int = 4, use_bfloat16: bool = False,
-                 repeat: bool = True):
+                 repeat: bool = True, use_processes: bool = False):
         self.files = [f for i, f in enumerate(file_paths)
                       if i % num_hosts == host_index]
         if not self.files:
@@ -51,6 +51,9 @@ class PretrainLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.seed = seed if seed is not None else int(time.time())
+        # processes sidestep the GIL for the numpy masking work; threads are
+        # enough when JPEG decode (GIL-released) dominates
+        self.use_processes = use_processes
         self._builder = PretrainExampleBuilder(cfg)
 
     def _record_stream(self):
@@ -88,8 +91,12 @@ class PretrainLoader:
             # NOTE: Executor.map consumes its iterable EAGERLY — on an
             # infinite (repeat=True) stream it would submit forever. Keep a
             # bounded window of in-flight decode jobs instead.
+            if self.use_processes:
+                from concurrent.futures import ProcessPoolExecutor as Pool
+            else:
+                Pool = ThreadPoolExecutor
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                with Pool(max_workers=self.num_workers) as pool:
                     from collections import deque
 
                     stream = self._record_stream()

@@ -68,3 +68,16 @@ def test_input_fn_builder(corpus_files, cfg):
         cfg, device=dataclasses.replace(cfg.device, batch_size=4))
     loader = input_fn_builder(cfg2, corpus_files, num_hosts=2, seed=0, repeat=False)
     assert loader.batch_size == 2
+
+
+def test_loader_with_processes(corpus_files, cfg):
+    loader = PretrainLoader(corpus_files, cfg, batch_size=2, seed=0,
+                            num_workers=2, repeat=False, use_processes=True)
+    batches = list(loader)
+    assert len(batches) == 3
+    # same data as the threaded loader
+    threaded = list(PretrainLoader(corpus_files, cfg, batch_size=2, seed=0,
+                                   num_workers=2, repeat=False))
+    for k in batches[0]:
+        np.testing.assert_array_equal(np.asarray(batches[0][k]),
+                                      np.asarray(threaded[0][k]), err_msg=k)
