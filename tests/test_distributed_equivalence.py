@@ -1,0 +1,71 @@
+"""Distributed semantics: results must be independent of the mesh layout.
+
+The reference's pmap world had per-device losses + explicit all_gather/pmean;
+here GSPMD owns the collectives. These tests pin the contract: the same
+global batch produces the same losses and updated params whether run on one
+device or sharded dp=4 (and dp=2 x tp=2).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import merlot_reserve_tpu as mr
+from merlot_reserve_tpu.data.dummy import make_dummy_batch
+from merlot_reserve_tpu.models import MerlotReservePretrainer
+from merlot_reserve_tpu.parallel import make_mesh
+from merlot_reserve_tpu.training.optimization import construct_train_state
+from merlot_reserve_tpu.training.trainer import make_jit_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = mr.load_config("base", hidden_size=64, joint_num_layers=2,
+                         vit_num_layers=2, audio_num_layers=2, span_num_layers=2,
+                         size_per_head=32, output_grid=(4, 4), use_bfloat16=False)
+    cfg = cfg.replace_data(num_segments=4, num_segment_groups=2, seq_len=80,
+                           lang_seq_len=40, num_text_spans_to_include=8)
+    model = MerlotReservePretrainer.from_config(cfg)
+    batch = make_dummy_batch(cfg, batch_size=4, seed=0, num_text_spans=16)
+    params = model.init_params(batch)
+    return cfg, model, params, batch
+
+
+def _one_step(cfg, model, params, batch, mesh, zero1):
+    # the jitted step donates the state, so give each run its own buffers
+    params = jax.tree.map(lambda x: np.array(x), params)
+    state = construct_train_state(cfg.optimizer, model, params)
+    step_fn, state = make_jit_train_step(mesh, state, zero1=zero1)
+    bd = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, metrics = step_fn(state, bd)
+    new_params = jax.device_get(state.params)
+    return jax.device_get(metrics), new_params
+
+
+def test_dp4_matches_single_device(setup, cpu_devices):
+    cfg, model, params, batch = setup
+    m1, p1 = _one_step(cfg, model, params, batch,
+                       make_mesh(dp=1, tp=1, devices=cpu_devices[:1]), False)
+    m4, p4 = _one_step(cfg, model, params, batch,
+                       make_mesh(dp=4, tp=1, devices=cpu_devices[:4]), True)
+
+    for k in m1:
+        assert abs(float(m1[k]) - float(m4[k])) < 1e-4, (k, m1[k], m4[k])
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat4 = jax.tree_util.tree_leaves(p4)
+    worst = max(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)))
+                for a, b in zip(flat1, flat4))
+    assert worst < 5e-3, worst  # bf16 grads + reduction-order differences
+
+
+def test_dp2_tp2_matches_single_device(setup, cpu_devices):
+    cfg, model, params, batch = setup
+    m1, _ = _one_step(cfg, model, params, batch,
+                      make_mesh(dp=1, tp=1, devices=cpu_devices[:1]), False)
+    mtp, _ = _one_step(cfg, model, params, batch,
+                       make_mesh(dp=2, tp=2, devices=cpu_devices[:4]), True)
+    for k in m1:
+        assert abs(float(m1[k]) - float(mtp[k])) < 1e-4, (k, m1[k], mtp[k])
