@@ -31,11 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-# Measured on v5e: at L=640 (the reference's joint seq) XLA's fused dense
-# attention beats this flash kernel (3.7ms vs 4.8ms fwd, B4 H12 D64), so the
-# auto policy only reaches for flash at genuinely long sequences where the
-# O(L^2) materialization starts to hurt.
-_FLASH_MIN_LEN = 1024
+# Measured on v5e: XLA's fused dense attention wins at the reference's
+# sequence lengths (<=640 joint), the tuned flash kernel wins at long
+# context (8.9ms vs 16.0ms at L=8192, H12 D64). The auto policy switches at
+# _FLASH_MIN_LEN; block sizes below are the measured sweet spot.
+_FLASH_MIN_LEN = 2048
+_FLASH_BLOCK_Q = 512
+_FLASH_BLOCK_K = 1024
 _NEG_INF = -1e10
 
 
@@ -89,55 +91,55 @@ def xla_attention(q, k, v, bias=None, softmax_dtype=None):
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                  block_k: int, scale: float):
-    """One (batch, head, q-block) program: stream K/V blocks with online softmax.
+def _flash_kernel(qlab_ref, klab_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                  acc_ref, m_ref, l_ref, *, scale: float):
+    """Canonical pipelined flash forward: grid (b, h, q_block, k_block) with
+    k innermost, so Pallas double-buffers the K/V block stream while the MXU
+    works. Softmax running state lives in VMEM scratch, carried across the k
+    dimension of the grid; the output block is written on the last k step.
 
-    valid_ref/seg_ref: [1, 1, L] int32 position labels for the whole row.
-    q_ref: [1, 1, block_q, d]; k_ref/v_ref: [1, 1, L, d]; o_ref: [1, 1, block_q, d];
-    lse_ref: [1, 1, 1, block_q] log-sum-exp per row (saved for the backward).
+    qlab/klab: [1, 2, block] int32 position labels (row 0 validity, row 1
+    segment id) for the current q/k block.
     """
     from jax.experimental import pallas as pl  # deferred: CPU tests may lack mosaic
 
-    block_q = q_ref.shape[2]
-    seq_len = k_ref.shape[2]
-    d = q_ref.shape[3]
-    q_idx = pl.program_id(2)
+    k_idx = pl.program_id(3)
+    num_k = pl.num_programs(3)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [block_q, d]
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
-    q_valid = valid_ref[0, 0, pl.ds(q_idx * block_q, block_q)]  # [block_q]
-    q_seg = seg_ref[0, 0, pl.ds(q_idx * block_q, block_q)]
+    q = q_ref[0, 0].astype(jnp.float32) * scale        # [bq, d]
+    k_blk = k_ref[0, 0].astype(jnp.float32)            # [bk, d]
+    v_blk = v_ref[0, 0].astype(jnp.float32)
 
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
+    q_valid, q_seg = qlab_ref[0, 0], qlab_ref[0, 1]
+    k_valid, k_seg = klab_ref[0, 0], klab_ref[0, 1]
+    mask = (q_valid[:, None] > 0) & (k_valid[None, :] > 0) & \
+        (q_seg[:, None] == k_seg[None, :])
+    s = jnp.where(mask, s, _NEG_INF)
 
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
+    m_prev = m_ref[0]
+    l_prev = l_ref[0]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    correction = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur[:, None])
+    l_cur = l_prev * correction + jnp.sum(p, axis=-1)
+    acc_ref[...] = acc_ref[...] * correction[:, None] + \
+        jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+    m_ref[0] = m_cur
+    l_ref[0] = l_cur
 
-        k_valid = valid_ref[0, 0, pl.ds(kb * block_k, block_k)]
-        k_seg = seg_ref[0, 0, pl.ds(kb * block_k, block_k)]
-        mask = (q_valid[:, None] > 0) & (k_valid[None, :] > 0) & (q_seg[:, None] == k_seg[None, :])
-        s = jnp.where(mask, s, _NEG_INF)
-
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-        correction = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur[:, None])
-        l_cur = l_prev * correction + jnp.sum(p, axis=-1)
-        acc = acc * correction[:, None] + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
-        return acc, m_cur, l_cur
-
-    num_kb = seq_len // block_k
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q,), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q,), jnp.float32)
-    acc, m_fin, l_fin = lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-
-    # fully-masked rows (invalid queries) keep l == 0; emit zeros for them
-    l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
-    o_ref[0, 0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse_ref[0, 0, 0] = m_fin + jnp.log(l_safe)
+    @pl.when(k_idx == num_k - 1)
+    def _finalize():
+        l_fin = l_ref[0]
+        l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
+        o_ref[0, 0] = (acc_ref[...] / l_safe[:, None]).astype(o_ref.dtype)
+        lse_ref[0, 0, 0] = m_ref[0] + jnp.log(l_safe)
 
 
 def _pad_for_blocks(q, k, v, is_valid, segment_ids, block: int):
@@ -158,8 +160,8 @@ def _pad_for_blocks(q, k, v, is_valid, segment_ids, block: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def flash_attention(q, k, v, is_valid, segment_ids, block_q: int = 128, block_k: int = 128,
-                    interpret: bool = False):
+def flash_attention(q, k, v, is_valid, segment_ids, block_q: int = _FLASH_BLOCK_Q,
+                    block_k: int = _FLASH_BLOCK_K, interpret: bool = False):
     """Fused attention with per-position label masking.
 
     :param q, k, v: [B, L, heads, d]
@@ -188,39 +190,46 @@ def _flash_forward(q, k, v, is_valid, segment_ids, block_q=128, block_k=128,
     q, k, v, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
         q, k, v, is_valid, segment_ids, max(block_q, block_k))
 
+    from jax.experimental.pallas import tpu as pltpu
+
     # [B, L, H, D] -> [B, H, L, D] so each program reads a contiguous row
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    # labels carried as [B, 1, L] to satisfy TPU (sublane, lane) tiling
-    valid3 = is_valid[:, None, :]
-    segs3 = segment_ids[:, None, :]
+    # labels carried as [B, 2, L] (row 0 validity, row 1 segment id) so a
+    # (1, 2, block) tile is (sublane, lane)-aligned
+    labels = jnp.stack([is_valid, segment_ids], axis=1)
 
-    grid = (B, H, Lp // block_q)
-    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale)
+    grid = (B, H, Lp // block_q, Lp // block_k)
+    kernel = functools.partial(_flash_kernel, scale=scale)
 
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, Lp), lambda b, h, i: (b, 0, 0)),     # is_valid
-            pl.BlockSpec((1, 1, Lp), lambda b, h, i: (b, 0, 0)),     # segment_ids
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, Lp, D), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Lp, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 2, block_q), lambda b, h, i, j: (b, 0, i)),  # q labels
+            pl.BlockSpec((1, 2, block_k), lambda b, h, i, j: (b, 0, j)),  # k labels
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
             # row stats live as [B, H, 1, Lp] so the (sublane, lane) tile is
             # (1, block_q) — lane-aligned on TPU
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i: (b, h, 0, i)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, Lp, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, 1, Lp), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),   # acc
+            pltpu.VMEM((1, block_q), jnp.float32),   # m
+            pltpu.VMEM((1, block_q), jnp.float32),   # l
+        ],
         interpret=interpret,
-    )(valid3, segs3, qt, kt, vt)
+    )(labels, labels, qt, kt, vt)
 
     out = out.transpose(0, 2, 1, 3)
     if pad:
@@ -409,7 +418,9 @@ def attention(q, k, v, *, is_valid=None, segment_ids=None, bias=None, impl: str 
             is_valid = jnp.ones((B, L), jnp.int32)
         if segment_ids is None:
             segment_ids = jnp.zeros((B, L), jnp.int32)
-        return flash_attention(q, k, v, is_valid, segment_ids, 128, 128, interpret)
+        bq = min(_FLASH_BLOCK_Q, max(L, 128))
+        bk = min(_FLASH_BLOCK_K, max(L, 128))
+        return flash_attention(q, k, v, is_valid, segment_ids, bq, bk, interpret)
 
     if bias is None and (is_valid is not None or segment_ids is not None):
         bias = make_attention_bias(is_valid=is_valid, segment_ids=segment_ids, dtype=jnp.float32)
