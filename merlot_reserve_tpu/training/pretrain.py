@@ -55,6 +55,9 @@ def run_pretraining(
     batch_iter = iter(batch_iterator)
     first_batch = next(batch_iter)
     params = model.init_params(first_batch)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    print(f"initialized {n_params:,d} params", flush=True)
     state = construct_train_state(cfg.optimizer, model, params)
 
     if output_dir and os.path.isdir(output_dir):
@@ -79,6 +82,11 @@ def run_pretraining(
 
         if output_dir and (step + 1) % save_every == 0:
             ckpt_lib.save_checkpoint(state, output_dir)
+            # contrastive temperature health print (train.py:134-139)
+            scales = np.asarray(jax.device_get(
+                state.params["contrastive_scales"]), np.float32)
+            print(f"step {step + 1} contrastive temps: "
+                  f"{np.exp(scales / 2.0).round(3).tolist()}", flush=True)
 
         if (step + 1) % 100 == 0:
             dt = time.time() - t_block
