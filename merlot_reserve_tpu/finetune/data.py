@@ -163,24 +163,32 @@ def preprocess_tvqa(raw: Dict, cfg: MerlotConfig, rng: np.random.Generator,
 
 def finetune_batches(file_paths: List[str], cfg: MerlotConfig, task: str,
                      batch_size: int, seed: Optional[int] = 0,
-                     is_training: bool = True,
-                     repeat: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-    """Stream collated batches for 'vcr' or 'tvqa'."""
+                     is_training: bool = True, repeat: bool = True,
+                     return_ids: bool = False) -> Iterator:
+    """Stream collated batches for 'vcr' or 'tvqa'. With return_ids, yields
+    (ids, batch) where padded slots carry id 'pad' (the reference's val
+    convention, common_dataloader.py:346-363)."""
     prep = {"vcr": preprocess_vcr, "tvqa": preprocess_tvqa}[task]
     rng = np.random.default_rng(seed)
+
+    def emit(examples, ids):
+        batch = {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+        return (ids, batch) if return_ids else batch
+
     while True:
-        examples = []
+        examples, ids = [], []
         for path in file_paths:
             for record in read_records(path):
                 raw = parse_example(record)
+                ids.append(bytes(raw.get("id", [b""])[0]).decode() or "?")
                 examples.append(prep(raw, cfg, rng, is_training=is_training))
                 if len(examples) == batch_size:
-                    yield {k: np.stack([e[k] for e in examples])
-                           for k in examples[0]}
-                    examples = []
+                    yield emit(examples, ids)
+                    examples, ids = [], []
         if not repeat:
-            if examples:  # pad the final partial batch by repeating example 0
+            if examples:  # pad the final partial batch ('pad' ids)
                 while len(examples) < batch_size:
                     examples.append(examples[0])
-                yield {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+                    ids.append("pad")
+                yield emit(examples, ids)
             return

@@ -108,17 +108,27 @@ def main():
             save_checkpoint(state, args.output_dir, no_optimizer=True)
 
     if args.test_fns:
-        # leaderboard submission (finetune/tvqa/submit_to_leaderboard.py surface)
-        preds_out = []
-        for batch in finetune_batches(sorted(glob.glob(args.test_fns)), cfg, "tvqa",
-                                      args.batch_size, is_training=False,
-                                      repeat=False):
+        # leaderboard submission: one {id: pred} json per stream
+        # (finetune/tvqa/submit_to_leaderboard.py:213-236 format)
+        out = {"text": {}, "audio": {}, "joint": {}}
+        for ids, batch in finetune_batches(sorted(glob.glob(args.test_fns)), cfg,
+                                           "tvqa", args.batch_size,
+                                           is_training=False, repeat=False,
+                                           return_ids=True):
             preds = pred_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
-            preds_out.extend(int(p) for p in np.asarray(preds["preds_joint"]))
-        out_fn = os.path.join(args.output_dir or ".", "tvqa_predictions.json")
-        with open(out_fn, "w") as f:
-            json.dump(preds_out, f)
-        print(f"wrote {len(preds_out)} predictions to {out_fn}")
+            for i, id_i in enumerate(ids):
+                if id_i == "pad":
+                    continue
+                id_i = id_i.split("~")[0]
+                out["text"][id_i] = int(np.asarray(preds["preds_text"])[i])
+                out["audio"][id_i] = int(np.asarray(preds["preds_audio"])[i])
+                out["joint"][id_i] = int(np.asarray(preds["preds_joint"])[i])
+        base = args.output_dir or "."
+        for stream, pred_dict in out.items():
+            out_fn = os.path.join(base, f"prediction_test_public_{stream}.json")
+            with open(out_fn, "w") as f:
+                json.dump(pred_dict, f)
+            print(f"wrote {len(pred_dict)} predictions to {out_fn}")
 
 
 if __name__ == "__main__":
