@@ -237,84 +237,87 @@ def _flash_forward(q, k, v, is_valid, segment_ids, block_q=128, block_k=128,
     return out, lse  # lse stays padded [B, H, 1, Lp] for the bwd kernels
 
 
-def _flash_bwd_dq_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                         delta_ref, dq_ref, *, block_k: int, scale: float):
-    """dq for one (batch, head, q-block): stream K/V, recompute p from the
-    saved log-sum-exp. delta_i = rowsum(dO * O) is precomputed (elementwise).
-    ds = p * (dp - delta); dq = scale * ds @ K."""
+def _flash_bwd_dq_kernel(qlab_ref, klab_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, dq_acc, *, scale: float):
+    """Pipelined dq: grid (b, h, q_block, k_block), k innermost — Pallas
+    streams K/V blocks while dq accumulates in VMEM scratch. p is recomputed
+    from the saved log-sum-exp; delta_i = rowsum(dO * O) is precomputed.
+    ds = p * (dp - delta); dq = scale * sum_k ds @ K."""
     from jax.experimental import pallas as pl
 
-    block_q = q_ref.shape[2]
-    seq_len = k_ref.shape[2]
-    q_idx = pl.program_id(2)
+    k_idx = pl.program_id(3)
+    num_k = pl.num_programs(3)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
 
     q = q_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
     lse = lse_ref[0, 0, 0]      # [block_q]
     delta = delta_ref[0, 0, 0]  # [block_q]
-    q_valid = valid_ref[0, 0, pl.ds(q_idx * block_q, block_q)]
-    q_seg = seg_ref[0, 0, pl.ds(q_idx * block_q, block_q)]
+    k_blk = k_ref[0, 0].astype(jnp.float32)
+    v_blk = v_ref[0, 0].astype(jnp.float32)
 
-    def body(kb, dq_acc):
-        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q * scale, k_blk.T, preferred_element_type=jnp.float32)
-        k_valid = valid_ref[0, 0, pl.ds(kb * block_k, block_k)]
-        k_seg = seg_ref[0, 0, pl.ds(kb * block_k, block_k)]
-        mask = (q_valid[:, None] > 0) & (k_valid[None, :] > 0) & \
-            (q_seg[:, None] == k_seg[None, :])
-        s = jnp.where(mask, s, _NEG_INF)
-        p = jnp.exp(s - lse[:, None])
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
-        return dq_acc + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+    s = jnp.dot(q * scale, k_blk.T, preferred_element_type=jnp.float32)
+    q_valid, q_seg = qlab_ref[0, 0], qlab_ref[0, 1]
+    k_valid, k_seg = klab_ref[0, 0], klab_ref[0, 1]
+    mask = (q_valid[:, None] > 0) & (k_valid[None, :] > 0) & \
+        (q_seg[:, None] == k_seg[None, :])
+    s = jnp.where(mask, s, _NEG_INF)
+    p = jnp.exp(s - lse[:, None])
+    dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None])
+    dq_acc[...] = dq_acc[...] + jnp.dot(ds, k_blk,
+                                        preferred_element_type=jnp.float32)
 
-    num_kb = seq_len // block_k
-    dq = lax.fori_loop(0, num_kb, body, jnp.zeros_like(q)) * scale
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    @pl.when(k_idx == num_k - 1)
+    def _finalize():
+        dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(valid_ref, seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                          delta_ref, dk_ref, dv_ref, *, block_q: int, scale: float):
-    """dk, dv for one (batch, head, k-block): stream Q/dO/lse/delta blocks.
-    dv = p^T @ dO; dk = scale * ds^T @ q."""
+def _flash_bwd_dkv_kernel(qlab_ref, klab_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                          scale: float):
+    """Pipelined dk/dv: grid (b, h, k_block, q_block), q innermost — Pallas
+    streams Q/dO blocks; dk/dv accumulate in VMEM scratch.
+    dv = sum_q p^T @ dO; dk = scale * sum_q ds^T @ q."""
     from jax.experimental import pallas as pl
 
-    block_k = k_ref.shape[2]
-    seq_len = q_ref.shape[2]
-    k_idx = pl.program_id(2)
+    q_idx = pl.program_id(3)
+    num_q = pl.num_programs(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
 
     k_blk = k_ref[0, 0].astype(jnp.float32)
     v_blk = v_ref[0, 0].astype(jnp.float32)
-    k_valid = valid_ref[0, 0, pl.ds(k_idx * block_k, block_k)]
-    k_seg = seg_ref[0, 0, pl.ds(k_idx * block_k, block_k)]
+    q = q_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0]
+    delta = delta_ref[0, 0, 0]
 
-    def body(qb, carry):
-        dk_acc, dv_acc = carry
-        q = q_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, 0, pl.ds(qb * block_q, block_q)]
-        delta = delta_ref[0, 0, 0, pl.ds(qb * block_q, block_q)]
-        q_valid = valid_ref[0, 0, pl.ds(qb * block_q, block_q)]
-        q_seg = seg_ref[0, 0, pl.ds(qb * block_q, block_q)]
+    s = jnp.dot(q * scale, k_blk.T, preferred_element_type=jnp.float32)
+    q_valid, q_seg = qlab_ref[0, 0], qlab_ref[0, 1]
+    k_valid, k_seg = klab_ref[0, 0], klab_ref[0, 1]
+    mask = (q_valid[:, None] > 0) & (k_valid[None, :] > 0) & \
+        (q_seg[:, None] == k_seg[None, :])
+    s = jnp.where(mask, s, _NEG_INF)
+    p = jnp.exp(s - lse[:, None])  # [bq, bk]
 
-        s = jnp.dot(q * scale, k_blk.T, preferred_element_type=jnp.float32)
-        mask = (q_valid[:, None] > 0) & (k_valid[None, :] > 0) & \
-            (q_seg[:, None] == k_seg[None, :])
-        s = jnp.where(mask, s, _NEG_INF)
-        p = jnp.exp(s - lse[:, None])  # [bq, bk]
+    dv_acc[...] = dv_acc[...] + jnp.dot(p.T, do,
+                                        preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None])
+    dk_acc[...] = dk_acc[...] + jnp.dot(ds.T, q,
+                                        preferred_element_type=jnp.float32)
 
-        dv_acc = dv_acc + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
-        dk_acc = dk_acc + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
-        return dk_acc, dv_acc
-
-    num_qb = seq_len // block_q
-    zeros = jnp.zeros_like(k_blk)
-    dk, dv = lax.fori_loop(0, num_qb, body, (zeros, jnp.zeros_like(v_blk)))
-    dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    @pl.when(q_idx == num_q - 1)
+    def _finalize():
+        dk_ref[0, 0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _flash_fwd_rule(q, k, v, is_valid, segment_ids, block_q, block_k, interpret):
@@ -339,40 +342,49 @@ def _flash_bwd_rule(block_q, block_k, interpret, residuals, g):
     g_p = jnp.pad(g, [(0, 0), (0, pad), (0, 0), (0, 0)]) if pad else g
     delta = jnp.pad(delta, [(0, 0), (0, 0), (0, 0), (0, pad)]) if pad else delta
 
+    from jax.experimental.pallas import tpu as pltpu
+
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     dot = g_p.transpose(0, 2, 1, 3)
-    valid3 = is_valid[:, None, :]
-    segs3 = segment_ids[:, None, :]
+    labels = jnp.stack([is_valid, segment_ids], axis=1)
 
-    label_spec = pl.BlockSpec((1, 1, Lp), lambda b, h, i: (b, 0, 0))
-    full_spec = pl.BlockSpec((1, 1, Lp, D), lambda b, h, i: (b, h, 0, 0))
-    rowblk_spec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0))
-    rowstat_spec = pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i: (b, h, 0, i))
-    fullstat_spec = pl.BlockSpec((1, 1, 1, Lp), lambda b, h, i: (b, h, 0, 0))
+    # dq: grid (b, h, q, k) with k innermost — q-indexed refs at i, k at j
+    qlab_i = pl.BlockSpec((1, 2, block_q), lambda b, h, i, j: (b, 0, i))
+    klab_j = pl.BlockSpec((1, 2, block_k), lambda b, h, i, j: (b, 0, j))
+    qblk_i = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0))
+    kblk_j = pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0))
+    stat_i = pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i))
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
-        grid=(B, H, Lp // block_q),
-        in_specs=[label_spec, label_spec, rowblk_spec, full_spec, full_spec,
-                  rowblk_spec, rowstat_spec, rowstat_spec],
-        out_specs=rowblk_spec,
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        grid=(B, H, Lp // block_q, Lp // block_k),
+        in_specs=[qlab_i, klab_j, qblk_i, kblk_j, kblk_j, qblk_i, stat_i, stat_i],
+        out_specs=qblk_i,
         out_shape=jax.ShapeDtypeStruct((B, H, Lp, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=interpret,
-    )(valid3, segs3, qt, kt, vt, dot, lse, delta)
+    )(labels, labels, qt, kt, vt, dot, lse, delta)
 
-    kblk_spec = pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0))
+    # dk/dv: grid (b, h, k, q) with q innermost — k-indexed refs at i, q at j
+    qlab_j = pl.BlockSpec((1, 2, block_q), lambda b, h, i, j: (b, 0, j))
+    klab_i = pl.BlockSpec((1, 2, block_k), lambda b, h, i, j: (b, 0, i))
+    qblk_j = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, j, 0))
+    kblk_i = pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, i, 0))
+    stat_j = pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, j))
+
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, scale=scale),
-        grid=(B, H, Lp // block_k),
-        in_specs=[label_spec, label_spec, full_spec, kblk_spec, kblk_spec,
-                  full_spec, fullstat_spec, fullstat_spec],
-        out_specs=(kblk_spec, kblk_spec),
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        grid=(B, H, Lp // block_k, Lp // block_q),
+        in_specs=[qlab_j, klab_i, qblk_j, kblk_i, kblk_i, qblk_j, stat_j, stat_j],
+        out_specs=(kblk_i, kblk_i),
         out_shape=(jax.ShapeDtypeStruct((B, H, Lp, D), k.dtype),
                    jax.ShapeDtypeStruct((B, H, Lp, D), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((block_k, D), jnp.float32),
+                        pltpu.VMEM((block_k, D), jnp.float32)],
         interpret=interpret,
-    )(valid3, segs3, qt, kt, vt, dot, lse, delta)
+    )(labels, labels, qt, kt, vt, dot, lse, delta)
 
     def unpack(x):
         x = x.transpose(0, 2, 1, 3)
