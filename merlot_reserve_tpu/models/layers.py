@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from merlot_reserve_tpu.ops import attention as attn_ops
+import merlot_reserve_tpu.ops.attention as attn_ops
 from merlot_reserve_tpu.ops import rotary as rotary_ops
 
 

@@ -2,8 +2,9 @@
 kernel + XLA fallback), on-device audio DSP (STFT->mel->log), and image
 patchify/resize kernels."""
 
+# NOTE: the generic entry point lives at ops.attention.attention — exporting
+# the function here would shadow the submodule of the same name.
 from merlot_reserve_tpu.ops.attention import (  # noqa: F401
-    attention,
     flash_attention,
     make_attention_bias,
     xla_attention,
