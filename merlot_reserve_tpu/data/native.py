@@ -11,7 +11,7 @@ import ctypes
 import os
 import subprocess
 from functools import lru_cache
-from typing import Dict, Iterator, List, Optional, Union
+from typing import Iterator, List, Optional
 
 import numpy as np
 
@@ -131,9 +131,6 @@ class NativeExample:
         if n < 0:
             return np.zeros(0, np.float32)
         return np.ctypeslib.as_array(ptr, shape=(n,)).copy()
-
-    def parse_all(self) -> Dict[str, Union[List[bytes], np.ndarray]]:
-        raise NotImplementedError("use typed accessors")
 
 
 def decode_jpeg_native(data: bytes, channels: int = 3) -> np.ndarray:
