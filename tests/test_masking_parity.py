@@ -1,0 +1,384 @@
+"""Masking-engine parity against the reference's own TF functions.
+
+VERDICT r1 item #2: drive /root/reference/pretrain/dataloader.py's ragged
+masking machinery (mask_tokens :192-257, select_tokens :150-189,
+shift_ragged_tokens_at_positions :260-283, reassign_empty_tokens :298-321,
+increase_textmask :324-380, convert_rawtext_into_fake_segments :400-446,
+TOKEN_IS_VALID :383-388) with inputs identical to what our numpy engine
+(merlot_reserve_tpu/data/masking.py) receives, and compare:
+
+* exactly, wherever the reference path is RNG-free (shifts, mask/pointer
+  construction, both-end truncation, padding, the validity table);
+* as a two-outcome set, for the @random_do_both_directions-decorated
+  functions (each is a 50/50 coin between two deterministic compositions);
+* distributionally (per-position keep frequency / span-length histogram over
+  many draws), for the Gumbel subsample and the raw-text segmenter.
+
+The reference module imports `tensorflow_datasets` at top level but never
+uses it; tfds is absent in this image, so the fixture installs an empty stub
+module before importing (the tf.data pipeline itself is not exercised here).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from merlot_reserve_tpu.data import masking as mk
+
+REFERENCE_ROOT = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def ref_dl():
+    """Import the reference pretrain.dataloader read-only as the oracle."""
+    import os
+
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference checkout not present")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    if "tensorflow_datasets" not in sys.modules:
+        sys.modules["tensorflow_datasets"] = types.ModuleType(
+            "tensorflow_datasets")  # imported by dataloader.py:16, never used
+    import pretrain.dataloader as dl
+
+    return dl
+
+
+@pytest.fixture(scope="session")
+def tf():
+    import tensorflow as tf
+
+    return tf
+
+
+def _to_tf_ragged(tf, r: mk.Ragged):
+    # int32 row partitions: matches the reference's real construction
+    # (tf.RaggedTensor.from_value_rowids over int32 segment ids), so that
+    # bounding_shape()/tf.range dtypes line up inside its _one_hot.
+    return tf.RaggedTensor.from_row_lengths(
+        tf.constant(r.values, dtype=tf.int32),
+        tf.constant(r.row_lengths, dtype=tf.int32))
+
+
+def _from_tf_ragged(rt) -> mk.Ragged:
+    return mk.Ragged(np.asarray(rt.values), np.asarray(rt.row_lengths()))
+
+
+def _random_ragged(rng: np.random.Generator, n_rows: int, max_len: int = 6,
+                   p_empty: float = 0.2) -> mk.Ragged:
+    lengths = rng.integers(1, max_len + 1, size=n_rows)
+    lengths[rng.uniform(size=n_rows) < p_empty] = 0
+    values = rng.integers(10, 32768, size=int(lengths.sum()))
+    return mk.Ragged.from_row_lengths(values.astype(np.int64),
+                                      lengths.astype(np.int64))
+
+
+def _ragged_equal(a: mk.Ragged, b: mk.Ragged) -> bool:
+    return (np.array_equal(a.row_lengths, b.row_lengths)
+            and np.array_equal(a.values, b.values))
+
+
+# ---------------------------------------------------------------------------
+# exact parity (RNG-free paths)
+# ---------------------------------------------------------------------------
+
+
+def test_shift_ragged_parity(ref_dl, tf):
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        r = _random_ragged(rng, n_rows=12)
+        n_pos = int(rng.integers(0, 5))
+        positions = np.sort(rng.permutation(12)[:n_pos]).astype(np.int64)
+        for rtl in (True, False):
+            ours = mk.shift_ragged_tokens_at_positions(r, positions, rtl)
+            theirs = _from_tf_ragged(ref_dl.shift_ragged_tokens_at_positions(
+                _to_tf_ragged(tf, r), tf.constant(positions, dtype=tf.int64),
+                right_to_left=rtl))
+            assert _ragged_equal(ours, theirs), (trial, rtl)
+
+
+@pytest.mark.parametrize("num_groups,do_audio_mask,audio_span", [
+    (1, False, False), (2, True, True), (2, False, True), (1, True, False)])
+def test_mask_tokens_exact_parity(ref_dl, tf, num_groups, do_audio_mask,
+                                  audio_span):
+    """Deterministic path: no group goes over budget, so no Gumbel subsample.
+    text_spans and every [L, 3] triple must match element-for-element."""
+    rng = np.random.default_rng(1)
+    for trial in range(8):
+        n = 8 * num_groups
+        r = _random_ragged(rng, n_rows=n, max_len=5)
+        n_mask = int(rng.integers(1, 4))
+        mask_idx = np.sort(rng.permutation(n)[:n_mask]).astype(np.int64)
+        do_span = (rng.uniform(size=n) < 0.5) if audio_span else None
+        padded = 80  # generous: 8 rows * <=6 tokens each
+
+        spans_ours, groups_ours = mk.mask_tokens(
+            r, mask_idx, rng, do_audio_span=do_span, audio_token_length=6,
+            text_span_start_counter=3, num_groups=num_groups,
+            padded_seq_len=padded, do_audio_mask=do_audio_mask)
+
+        spans_ref, groups_ref = ref_dl.mask_tokens(
+            _to_tf_ragged(tf, r), tf.constant(mask_idx, dtype=tf.int32),
+            do_audio_span=(None if do_span is None
+                           else tf.constant(do_span)),
+            audio_token_length=6, text_span_start_counter=3,
+            num_groups=num_groups, padded_seq_len=padded,
+            do_audio_mask=do_audio_mask)
+
+        assert _ragged_equal(spans_ours, _from_tf_ragged(spans_ref))
+        assert len(groups_ours) == len(groups_ref) == num_groups
+        for g_ours, g_ref in zip(groups_ours, groups_ref):
+            assert np.array_equal(g_ours, np.asarray(g_ref)), trial
+
+
+def test_select_tokens_truncation_parity(ref_dl, tf):
+    """Both-end truncation is deterministic whenever the post-truncation
+    length fits the budget (select_tokens' tf.cond else-branch)."""
+    rng = np.random.default_rng(2)
+    for trial in range(20):
+        # layout: [plain prefix][MASK/audio middle][plain suffix]
+        pre = int(rng.integers(0, 10))
+        mid = int(rng.integers(2, 8))
+        post = int(rng.integers(0, 10))
+        toks = []
+        for i in range(pre):
+            toks.append([int(rng.integers(10, 32768)), i % 4, -1])
+        for i in range(mid):
+            toks.append([mk.MASK if i % 2 == 0 else mk.AUDIOSPAN, i % 4,
+                         i // 2])
+        for i in range(post):
+            toks.append([int(rng.integers(10, 32768)), i % 4, -1])
+        tokens = np.asarray(toks, dtype=np.int32)
+        # budget chosen so truncation alone suffices
+        padded = max(mid + 2, len(tokens) - int(rng.integers(0, pre + post + 1)))
+        if padded >= len(tokens):
+            padded = len(tokens) - 1
+        if padded < mid:
+            continue
+
+        ours = mk.select_tokens(tokens, padded, num_segments=4, rng=rng)
+        theirs = np.asarray(ref_dl.select_tokens(
+            tf.constant(tokens), padded, num_segments=4))
+        if len(ours) <= padded and len(theirs) <= padded \
+                and len(ours) == len(theirs) and np.array_equal(ours, theirs):
+            continue
+        # Only legitimate divergence: both had to Gumbel-subsample
+        assert len(ours) == padded and len(theirs) == padded, trial
+
+
+def test_token_validity_table_parity(ref_dl):
+    from merlot_reserve_tpu.tokenizer import token_is_valid_table
+
+    ours = np.asarray(token_is_valid_table(), dtype=bool)
+    theirs = np.asarray(ref_dl.TOKEN_IS_VALID, dtype=bool)
+    assert ours.shape == theirs.shape
+    mismatch = np.where(ours != theirs)[0]
+    assert mismatch.size == 0, f"validity differs at ids {mismatch[:20]}"
+
+
+def test_cumulative_maximum_parity(ref_dl, tf):
+    import pretrain.data_utils as du
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        x = rng.integers(-5, 20, size=17).astype(np.int32)
+        ours = mk.cumulative_maximum_int(x)
+        theirs = np.asarray(du.cumulative_maximum_int(tf.constant(x)))
+        assert np.array_equal(ours, theirs)
+
+
+# ---------------------------------------------------------------------------
+# two-outcome parity (@random_do_both_directions functions)
+# ---------------------------------------------------------------------------
+
+
+def _two_outcomes(one_dir_fn, r, **kw):
+    a = one_dir_fn(one_dir_fn(r, right_to_left=True, **kw),
+                   right_to_left=False, **kw)
+    b = one_dir_fn(one_dir_fn(r, right_to_left=False, **kw),
+                   right_to_left=True, **kw)
+    return a, b
+
+
+def test_reassign_empty_tokens_parity(ref_dl, tf):
+    """The decorated reference fn is a fair coin between two deterministic
+    compositions; every reference draw must equal one of OUR two outcomes,
+    and (when they differ) both must be observed."""
+    rng = np.random.default_rng(4)
+    # crafted case: empty masked row flanked by 2-token donors — rtl-first
+    # steals from the right donor, ltr-first from the left → must differ
+    crafted = (mk.Ragged.from_row_lengths(
+        np.arange(100, 108, dtype=np.int64), np.asarray([2, 2, 0, 2, 2])),
+        np.asarray([2], dtype=np.int64))
+    checked_distinct = 0
+    for trial in range(13):
+        if trial == 0:
+            r, mask_idx = crafted
+        else:
+            r = _random_ragged(rng, n_rows=10, p_empty=0.4)
+            n_mask = int(rng.integers(1, 5))
+            mask_idx = np.sort(rng.permutation(10)[:n_mask]).astype(np.int64)
+        a, b = _two_outcomes(mk._reassign_one_dir, r, mask_idx=mask_idx)
+
+        seen = set()
+        for _ in range(24):
+            out = _from_tf_ragged(ref_dl.reassign_empty_tokens(
+                _to_tf_ragged(tf, r),
+                mask_idx=tf.constant(mask_idx, dtype=tf.int32)))
+            assert _ragged_equal(out, a) or _ragged_equal(out, b), trial
+            seen.add("a" if _ragged_equal(out, a) else "b")
+        if not _ragged_equal(a, b):
+            checked_distinct += 1
+            assert seen == {"a", "b"}, f"coin never flipped, trial {trial}"
+    assert checked_distinct >= 2, "inputs never produced distinct outcomes"
+
+
+def test_increase_textmask_parity(ref_dl, tf):
+    rng = np.random.default_rng(5)
+    # crafted case: 2-token donor row 2 contested by masked rows 1 and 3
+    # (each within delta of its side's boundary) — taking right-first gives
+    # row 1 the donor's first token and starves row 3 (length-1 guard), and
+    # vice versa, so the two direction orders provably diverge.
+    crafted = (
+        mk.Ragged.from_row_lengths(np.arange(200, 206, dtype=np.int64),
+                                   np.asarray([1, 1, 2, 1, 1])),
+        np.asarray([1, 3], dtype=np.int64),
+        np.asarray([0.0, 1.0, 2.0, 2.4, 3.0, 4.5], dtype=np.float32),
+        np.asarray([[-0.5, 0.5], [0.8, 1.95], [1.96, 2.44], [2.45, 3.9],
+                    [4.4, 5.0]], dtype=np.float32),
+    )
+    checked_distinct = 0
+    for trial in range(11):
+        if trial == 0:
+            r, mask_idx, tok_t, audio_se = crafted
+        else:
+            n = 9
+            r = _random_ragged(rng, n_rows=n, p_empty=0.25)
+            n_mask = int(rng.integers(1, 4))
+            mask_idx = np.sort(rng.permutation(n)[:n_mask]).astype(np.int64)
+            # token timestamps: sorted, roughly one row per second
+            tok_t = np.sort(rng.uniform(0, n, size=len(r.values))).astype(
+                np.float32)
+            # audio windows per row, with sub-0.1 boundary slack so the
+            # delta_thresh=0.1 widening heuristic actually fires sometimes
+            starts = np.arange(n, dtype=np.float32) + rng.uniform(
+                -0.05, 0.05, size=n).astype(np.float32)
+            audio_se = np.stack([starts, starts + 1.0], -1).astype(np.float32)
+
+        a, b = _two_outcomes(
+            mk._increase_one_dir, r, mask_idx=mask_idx,
+            tok_centroids_vals=tok_t, audio_start_end=audio_se,
+            delta_thresh=0.1)
+
+        seen = set()
+        for _ in range(24):
+            out = _from_tf_ragged(ref_dl.increase_textmask(
+                _to_tf_ragged(tf, r),
+                mask_idx=tf.constant(mask_idx, dtype=tf.int32),
+                tok_centroids_vals=tf.constant(tok_t),
+                audio_start_end=tf.constant(audio_se)))
+            assert _ragged_equal(out, a) or _ragged_equal(out, b), trial
+            seen.add("a" if _ragged_equal(out, a) else "b")
+        if not _ragged_equal(a, b):
+            checked_distinct += 1
+            assert seen == {"a", "b"}, f"coin never flipped, trial {trial}"
+    assert checked_distinct >= 1, "inputs never produced distinct outcomes"
+
+
+# ---------------------------------------------------------------------------
+# distributional parity (RNG paths)
+# ---------------------------------------------------------------------------
+
+
+def test_select_tokens_subsample_distribution(ref_dl, tf):
+    """Over-budget path: MASK rows must always survive in both, and the
+    per-position keep frequency must match (same Gumbel + per-segment score
+    construction)."""
+    rng = np.random.default_rng(6)
+    L, padded, n_seg = 60, 40, 6
+    toks = []
+    mask_positions = []
+    for i in range(L):
+        seg = (i * n_seg) // L
+        if i % 12 == 5:
+            toks.append([mk.MASK, seg, len(mask_positions)])
+            mask_positions.append(i)
+        else:
+            toks.append([int(rng.integers(10, 32768)), seg, -1])
+    tokens = np.asarray(toks, dtype=np.int32)
+    # no clean prefix/suffix: first/last rows are near masks on purpose? No —
+    # build so both-end truncation leaves it still over budget
+    draws = 400
+    keep_ours = np.zeros(L)
+    keep_ref = np.zeros(L)
+    ids = tokens[:, 0].copy()
+    for _ in range(draws):
+        out = mk.select_tokens(tokens, padded, num_segments=n_seg, rng=rng)
+        assert len(out) == padded
+        assert (out[:, 0] == mk.MASK).sum() == len(mask_positions)
+        # positions recovered via the (unique-enough) text_ptr/token pair
+        kept = set()
+        j = 0
+        for i in range(L):
+            if j < padded and np.array_equal(out[j], tokens[i]):
+                kept.add(i)
+                j += 1
+        keep_ours[list(kept)] += 1
+
+        out_t = np.asarray(ref_dl.select_tokens(tf.constant(tokens), padded,
+                                                num_segments=n_seg))
+        assert len(out_t) == padded
+        assert (out_t[:, 0] == mk.MASK).sum() == len(mask_positions)
+        kept = set()
+        j = 0
+        for i in range(L):
+            if j < padded and np.array_equal(out_t[j], tokens[i]):
+                kept.add(i)
+                j += 1
+        keep_ref[list(kept)] += 1
+
+    freq_ours = keep_ours / draws
+    freq_ref = keep_ref / draws
+    assert (freq_ours[mask_positions] == 1.0).all()
+    assert (freq_ref[mask_positions] == 1.0).all()
+    # both ~uniform-ish with segment-block structure; compare pointwise
+    assert np.abs(freq_ours - freq_ref).max() < 0.15, (
+        np.abs(freq_ours - freq_ref).max())
+
+
+@pytest.mark.parametrize("use_v1", [False, True])
+def test_convert_rawtext_distribution(ref_dl, tf, use_v1):
+    """Span-length histogram over many draws: KL(ref || ours) must be tiny,
+    and the deterministic pieces (L cap, partition invariant) exact."""
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(10, 32768, size=400).astype(np.int32)
+    desired_len, span_budget = 120, 38
+
+    lens_ours = []
+    lens_ref = []
+    for _ in range(300):
+        ragged, lhs, rhs = mk.convert_rawtext_into_fake_segments(
+            tokens, desired_len, span_budget, rng, use_v1_stats=use_v1)
+        # partition invariant: lhs + selected + rhs is a contiguous cover
+        assert len(lhs) + len(ragged.values) + len(rhs) == len(tokens)
+        reassembled = np.concatenate([lhs, ragged.values, rhs])
+        assert np.array_equal(reassembled, tokens)
+        lens_ours.extend(ragged.row_lengths.tolist())
+
+        rt, lhs_t, rhs_t = ref_dl.convert_rawtext_into_fake_segments(
+            tf.constant(tokens), desired_len, span_budget,
+            use_v1_stats=use_v1)
+        vals = np.asarray(rt.values)
+        assert len(lhs_t) + len(vals) + len(rhs_t) == len(tokens)
+        lens_ref.extend(np.asarray(rt.row_lengths()).tolist())
+
+    def hist(lens):
+        h = np.bincount(np.asarray(lens), minlength=16)[1:16].astype(np.float64)
+        return (h + 1e-3) / (h.sum() + 15e-3)
+
+    p, q = hist(lens_ref), hist(lens_ours)
+    kl = float((p * np.log(p / q)).sum())
+    assert kl < 0.01, f"span-length KL(ref||ours)={kl:.4f}"
