@@ -129,6 +129,35 @@ def main():
                                    (frames, pcm, tokens, subseg))
     segs_mine = N_VIDEOS * N_SEG / dt_mine
 
+    # ---- ours: encode-only (pre-patchified inputs, same shape as the
+    # reference's batch_embed_video) for the core-compute comparison ----
+    images_enc = jnp.asarray(rng.randn(N_VIDEOS, N_SEG, grid[0] * grid[1], 768)
+                             .astype(np.float32))
+    audio_enc = jnp.asarray(rng.randn(N_VIDEOS, 3 * N_SEG, 60, 65)
+                            .astype(np.float32))
+
+    def make_chained_encode(n):
+        def chained(p, images, audio, tokens, subseg):
+            def one_video(im, au, tok, sub):
+                return model.apply({"params": p}, im, au, tok, sub,
+                                   method=model.embed_video)
+
+            def body(i, carry):
+                s, _ = carry
+                out = jax.vmap(one_video)(images + s * 1e-20, audio, tokens,
+                                          subseg)
+                return (out.astype(jnp.float32).reshape(-1)[0], out)
+
+            out0 = jax.vmap(one_video)(images, audio, tokens, subseg)
+            s, out = jax.lax.fori_loop(
+                0, n - 1, body, (out0.astype(jnp.float32).reshape(-1)[0], out0))
+            return p, out.reshape(-1)[:8]
+
+        return jax.jit(chained, donate_argnums=(0,))
+
+    dt_mine_enc, params = _time_device(make_chained_encode, params,
+                                       (images_enc, audio_enc, tokens, subseg))
+
     # ---- reference pipeline: host preprocessing + on-chip encode ----
     ref_segs = None
     try:
@@ -144,12 +173,29 @@ def main():
         print(f"# reference baseline unavailable: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # ---- MFU: analytic matmul FLOPs / measured time / chip peak ----
+    from merlot_reserve_tpu.utils.profiling import device_peak_flops, encode_flops
+
+    peak = device_peak_flops() if on_tpu else None
+    mfu = mfu_enc = None
+    if peak:
+        mfu = encode_flops(cfg, N_VIDEOS, N_SEG, include_preprocess=True) \
+            / dt_mine / peak
+        mfu_enc = encode_flops(cfg, N_VIDEOS, N_SEG) / dt_mine_enc / peak
+        print(f"# our encode-only: {dt_mine_enc*1000:.1f}ms/batch "
+              f"(mfu {mfu_enc:.3f}); fused preprocess+encode mfu {mfu:.3f}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "video segments/sec/chip (raw frames+PCM -> joint embeddings,"
                   " base 12x20)",
         "value": round(segs_mine, 2),
         "unit": "segments/sec/chip",
         "vs_baseline": round(segs_mine / ref_segs, 3) if ref_segs else None,
+        "mfu": round(mfu, 4) if mfu else None,
+        "encode_mfu": round(mfu_enc, 4) if mfu_enc else None,
+        "encode_vs_reference": (round(dt_ref_dev / dt_mine_enc, 3)
+                                if ref_segs else None),
     }))
 
 

@@ -82,8 +82,49 @@ def host_image_to_patches(img: np.ndarray, grid, rng=None,
     return x.reshape(gh * gw, patch_size * patch_size * 3)
 
 
+# typed per-segment schema for the native parser fast path (the subset the
+# example builder consumes; names follow the reference's segment_k2f,
+# dataloader.py:30-60)
+_SEG_BYTES_KEYS = ("image/encoded", "spectrogram/encoded")
+_SEG_INT_KEYS = ("playback_speed", "tok_ids", "title", "description", "tags",
+                 "random_text", "video_src_index")
+_SEG_FLOAT_KEYS = ("spectrogram/magic_number", "start_time", "end_time",
+                   "tok_start_times", "tok_end_times")
+
+
+def _parse_segment_record_native(record: bytes, num_segments: int):
+    from merlot_reserve_tpu.data import native as N
+
+    ex = N.NativeExample(record)
+    segments = []
+    for i in range(num_segments):
+        p = f"c{i:02d}/"
+        seg = {}
+        for k in _SEG_BYTES_KEYS:
+            v = ex.bytes_list(p + k)
+            if v:
+                seg[k] = v
+        for k in _SEG_INT_KEYS:
+            v = ex.int64s(p + k)
+            if len(v):
+                seg[k] = v
+        for k in _SEG_FLOAT_KEYS:
+            v = ex.floats(p + k)
+            if len(v):
+                seg[k] = v
+        segments.append(seg)
+    return segments
+
+
 def parse_segment_record(record: bytes, num_segments: int) -> List[Dict]:
-    """One TFRecord example -> list of per-segment feature dicts."""
+    """One TFRecord example -> list of per-segment feature dicts.
+
+    Uses the native C++ protobuf parser when available (one parse, typed
+    per-key reads); falls back to the pure-python codec."""
+    from merlot_reserve_tpu.data import native as N
+
+    if N.native_available():
+        return _parse_segment_record_native(record, num_segments)
     raw = parse_example(record)
     segments = []
     for i in range(num_segments):
@@ -370,12 +411,23 @@ def collate_batch(examples: List[Dict[str, np.ndarray]],
     """handle_batch equivalent (dataloader.py:732-789), global-batch-major:
     flattens image/audio leading dims and splits [.., L, 3] triples into
     k, k/audio_ptr, k/text_ptr."""
-    batch = {k: np.stack([e[k] for e in examples]) for k in examples[0]}
-    B, num_segments, hw, pp3 = batch["images"].shape
-    batch["images"] = batch["images"].reshape(B, num_segments * hw, pp3)
+    # preallocate + assign for the two large float arrays: np.stack's
+    # generic path is ~5x slower than contiguous row assignment at these
+    # sizes (measured: 22 -> 4.3 ms/example for base images)
+    batch = {k: np.stack([e[k] for e in examples])
+             for k in examples[0] if k not in ("images", "audio_clips")}
+    B = len(examples)
+    num_segments, hw, pp3 = examples[0]["images"].shape
+    images = np.empty((B, num_segments * hw, pp3), np.float32)
+    for i, e in enumerate(examples):
+        images[i] = e["images"].reshape(num_segments * hw, pp3)
+    batch["images"] = images
 
-    b_, n_, nsub, aseq, mel = batch["audio_clips"].shape
-    batch["audio_clips"] = batch["audio_clips"].reshape(B, n_ * nsub * aseq, mel)
+    n_, nsub, aseq, mel = examples[0]["audio_clips"].shape
+    audio = np.empty((B, n_ * nsub * aseq, mel), np.float32)
+    for i, e in enumerate(examples):
+        audio[i] = e["audio_clips"].reshape(n_ * nsub * aseq, mel)
+    batch["audio_clips"] = audio
 
     for k in ["text2audio", "audio2text", "audio_text_matching", "random_text"]:
         x = batch[k]

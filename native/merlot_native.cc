@@ -300,6 +300,25 @@ extern "C" void mn_resize_patchify(const uint8_t* rgb, int h, int w, int grid_h,
   const int sh = std::min(sh_full - off_y, dh), sw = std::min(sw_full - off_x, dw);
   const size_t out_elems = (size_t)grid_h * grid_w * patch * patch * 3;
   std::memset(out, 0, out_elems * sizeof(float));
+  if (sh <= 0 || sw <= 0) return;
+
+  // Precompute per-column sample indices/weights and destination offsets —
+  // the inner loop then does only loads, fma and a store (the scalar
+  // double-precision version of this loop was the loader's hottest line).
+  std::vector<int> x0v(sw), x1v(sw), dstc(sw);
+  std::vector<float> wxv(sw);
+  for (int x = 0; x < sw; ++x) {
+    double fx = ((x + off_x + 0.5) / scale) - 0.5;
+    int x0 = (int)fx;
+    if (fx < 0) { fx = 0; x0 = 0; }
+    if (x0 >= w) { x0 = w - 1; fx = x0; }
+    x0v[x] = x0;
+    x1v[x] = x0 + 1 < w ? x0 + 1 : w - 1;
+    wxv[x] = (float)(fx - x0);
+    const int gx = x / patch, px = x % patch;
+    dstc[x] = (gx * patch * patch + px) * 3;  // column part of the out index
+  }
+  constexpr float kInv255 = 1.0f / 255.0f;
 
   for (int y = 0; y < sh; ++y) {
     // bilinear sample positions (align like PIL/TF half-pixel centers)
@@ -307,29 +326,28 @@ extern "C" void mn_resize_patchify(const uint8_t* rgb, int h, int w, int grid_h,
     int y0 = (int)fy;
     if (fy < 0) { fy = 0; y0 = 0; }
     if (y0 >= h) { y0 = h - 1; fy = y0; }
-    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
-    double wy = fy - y0;
+    const int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+    const float wy = (float)(fy - y0);
+    const float wy0 = (1.0f - wy) * kInv255, wy1 = wy * kInv255;
     const int gy = y / patch, py = y % patch;
+    const uint8_t* row0 = rgb + (size_t)y0 * w * 3;
+    const uint8_t* row1 = rgb + (size_t)y1 * w * 3;
+    // out index: [(gy*grid_w + gx), ((py*patch + px)*3 + c)]
+    float* dst_row = out + ((size_t)gy * grid_w * patch * patch +
+                            (size_t)py * patch) * 3;
     for (int x = 0; x < sw; ++x) {
-      double fx = ((x + off_x + 0.5) / scale) - 0.5;
-      int x0 = (int)fx;
-      if (fx < 0) { fx = 0; x0 = 0; }
-      if (x0 >= w) { x0 = w - 1; fx = x0; }
-      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
-      double wx = fx - x0;
-      const int gx = x / patch, px = x % patch;
-      // out index: [(gy*grid_w + gx), ((py*patch + px)*3 + c)]
-      float* dst = out + ((size_t)(gy * grid_w + gx) * patch * patch +
-                          (size_t)(py * patch + px)) * 3;
-      const uint8_t* p00 = rgb + ((size_t)y0 * w + x0) * 3;
-      const uint8_t* p01 = rgb + ((size_t)y0 * w + x1) * 3;
-      const uint8_t* p10 = rgb + ((size_t)y1 * w + x0) * 3;
-      const uint8_t* p11 = rgb + ((size_t)y1 * w + x1) * 3;
-      for (int c = 0; c < 3; ++c) {
-        double v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
-                   wy * ((1 - wx) * p10[c] + wx * p11[c]);
-        dst[c] = (float)(v / 255.0);
-      }
+      const float wx = wxv[x], cwx = 1.0f - wx;
+      const uint8_t* p00 = row0 + x0v[x] * 3;
+      const uint8_t* p01 = row0 + x1v[x] * 3;
+      const uint8_t* p10 = row1 + x0v[x] * 3;
+      const uint8_t* p11 = row1 + x1v[x] * 3;
+      float* dst = dst_row + dstc[x];
+      dst[0] = wy0 * (cwx * p00[0] + wx * p01[0]) +
+               wy1 * (cwx * p10[0] + wx * p11[0]);
+      dst[1] = wy0 * (cwx * p00[1] + wx * p01[1]) +
+               wy1 * (cwx * p10[1] + wx * p11[1]);
+      dst[2] = wy0 * (cwx * p00[2] + wx * p01[2]) +
+               wy1 * (cwx * p10[2] + wx * p11[2]);
     }
   }
 }
