@@ -79,7 +79,10 @@ def main():
     from merlot_reserve_tpu.ops.vision import preprocess_image_to_patches
 
     on_tpu = jax.default_backend() == "tpu"
-    cfg = mr.load_config("base", use_bfloat16=on_tpu)
+    # unrolled layers: same numerics, but the layer-scan costs a few percent
+    # even on the forward path and the whole-graph compile is cached after
+    # the first bench run (BASELINE.md round-2 scan_layers findings)
+    cfg = mr.load_config("base", use_bfloat16=on_tpu, scan_layers=False)
     model = MerlotReserve.from_config(cfg)
     grid = tuple(cfg.model.output_grid)
 
@@ -285,6 +288,8 @@ def _reference_encode_time(params, cfg, grid, tokens, subseg, rng) -> float:
 
         return jax.jit(chained, donate_argnums=(0,))
 
+    # with scan_layers=False our tree already uses the reference's
+    # layer_NN layout; unstacking is only needed for stacked params
     ref_params = jax.device_put(unstack_layer_params(params))
     dt, _ = _time_device(make_chained, ref_params,
                          (images, audio, tokens, subseg))

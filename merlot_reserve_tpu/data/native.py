@@ -121,14 +121,14 @@ class NativeExample:
     def int64s(self, key: str) -> np.ndarray:
         ptr = ctypes.POINTER(ctypes.c_int64)()
         n = self._lib.mn_feature_ints(self._h, key.encode(), ctypes.byref(ptr))
-        if n < 0:
+        if n <= 0:  # missing (<0) or present-but-empty (0: NULL data ptr)
             return np.zeros(0, np.int64)
         return np.ctypeslib.as_array(ptr, shape=(n,)).copy()
 
     def floats(self, key: str) -> np.ndarray:
         ptr = ctypes.POINTER(ctypes.c_float)()
         n = self._lib.mn_feature_floats(self._h, key.encode(), ctypes.byref(ptr))
-        if n < 0:
+        if n <= 0:  # missing (<0) or present-but-empty (0: NULL data ptr)
             return np.zeros(0, np.float32)
         return np.ctypeslib.as_array(ptr, shape=(n,)).copy()
 

@@ -183,13 +183,24 @@ def flash_attention(q, k, v, is_valid, segment_ids, block_q: int = _FLASH_BLOCK_
 
 
 def _flash_forward(q, k, v, is_valid, segment_ids, block_q=128, block_k=128,
-                   interpret=False):
+                   interpret=False, k_is_valid=None, k_segment_ids=None):
+    """When k_is_valid/k_segment_ids are given, the K/V side carries its own
+    labels (ring attention rotates K/V shards past fixed local queries);
+    otherwise labels are shared, the self-attention case."""
     from jax.experimental import pallas as pl
 
     B, L, H, D = q.shape
     scale = float(1.0 / np.sqrt(D))
-    q, k, v, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
-        q, k, v, is_valid, segment_ids, max(block_q, block_k))
+    cross = k_is_valid is not None
+    if cross:
+        q, _, _, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
+            q, q, q, is_valid, segment_ids, max(block_q, block_k))
+        k, v, _, k_is_valid, k_segment_ids, _, _ = _pad_for_blocks(
+            k, v, v, k_is_valid, k_segment_ids, max(block_q, block_k))
+    else:
+        q, k, v, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
+            q, k, v, is_valid, segment_ids, max(block_q, block_k))
+        k_is_valid, k_segment_ids = is_valid, segment_ids
 
     from jax.experimental.pallas import tpu as pltpu
 
@@ -200,8 +211,11 @@ def _flash_forward(q, k, v, is_valid, segment_ids, block_q=128, block_k=128,
     # labels carried as [B, 2, L] (row 0 validity, row 1 segment id) so a
     # (1, 2, block) tile is (sublane, lane)-aligned
     labels = jnp.stack([is_valid, segment_ids], axis=1)
+    k_labels = (jnp.stack([k_is_valid, k_segment_ids], axis=1) if cross
+                else labels)
 
-    grid = (B, H, Lp // block_q, Lp // block_k)
+    Lkp = kt.shape[2]
+    grid = (B, H, Lp // block_q, Lkp // block_k)
     kernel = functools.partial(_flash_kernel, scale=scale)
 
     out, lse = pl.pallas_call(
@@ -230,7 +244,7 @@ def _flash_forward(q, k, v, is_valid, segment_ids, block_q=128, block_k=128,
             pltpu.VMEM((1, block_q), jnp.float32),   # l
         ],
         interpret=interpret,
-    )(labels, labels, qt, kt, vt)
+    )(labels, k_labels, qt, kt, vt)
 
     out = out.transpose(0, 2, 1, 3)
     if pad:

@@ -99,10 +99,77 @@ def ring_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp"):
     return out.astype(q.dtype)
 
 
+def ring_flash_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp",
+                         block_q: int = 512, block_k: int = 512,
+                         interpret: bool = False):
+    """Pallas ring attention: per ring step the local queries attend to the
+    resident K/V shard with the pipelined Pallas flash kernel
+    (ops/attention.py), while the NEXT shard rotates via ``lax.ppermute`` —
+    the permute is issued before the kernel so XLA's latency-hiding
+    scheduler overlaps the ICI transfer with the MXU work (double-buffered
+    K/V: current shard computing, next shard in flight).
+
+    Per-step partials are merged exactly with the flash log-sum-exp
+    recurrence: out = sum_t out_t * exp(lse_t - logsumexp_t lse_t).
+
+    Forward-only (the Pallas kernels' custom VJP covers the single-shard
+    case; long-context *training* uses the lax-level ``ring_attention``,
+    which differentiates through ppermute/scan).
+
+    All arguments are LOCAL shards (call under shard_map), same signature
+    as ``ring_attention``. On CPU pass interpret=True (tests do).
+    """
+    from merlot_reserve_tpu.ops.attention import _flash_forward
+
+    n = lax.psum(1, axis_name)
+    B, Lq, H, D = q.shape
+    q_valid = is_valid.astype(jnp.int32)
+    q_seg = segment_ids.astype(jnp.int32)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def one_step(k_cur, v_cur, kv_valid, kv_seg):
+        out_t, lse_t = _flash_forward(
+            q, k_cur, v_cur, q_valid, q_seg, block_q=block_q, block_k=block_k,
+            interpret=interpret, k_is_valid=kv_valid, k_segment_ids=kv_seg)
+        # lse [B, H, 1, Lqp] -> [B, Lq, H, 1] aligned with out [B, Lq, H, D]
+        lse_t = lse_t[:, :, 0, :Lq].transpose(0, 2, 1)[..., None]
+        return out_t.astype(jnp.float32), lse_t
+
+    def step(carry, _):
+        k_cur, v_cur, kv_valid, kv_seg, out_run, lse_run = carry
+        # issue the rotation FIRST: no data dependence on this step's
+        # compute, so the collective-permute flies while flash runs
+        k_nxt = lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = lax.ppermute(v_cur, axis_name, perm)
+        valid_nxt = lax.ppermute(kv_valid, axis_name, perm)
+        seg_nxt = lax.ppermute(kv_seg, axis_name, perm)
+
+        out_t, lse_t = one_step(k_cur, v_cur, kv_valid, kv_seg)
+        lse_new = jnp.logaddexp(lse_run, lse_t)
+        out_run = (out_run * jnp.exp(lse_run - lse_new)
+                   + out_t * jnp.exp(lse_t - lse_new))
+        return (k_nxt, v_nxt, valid_nxt, seg_nxt, out_run, lse_new), None
+
+    out0 = jnp.zeros((B, Lq, H, D), jnp.float32)
+    # finite "-inf": keeps exp(lse_run - lse_new) well-defined on the first
+    # merge (every real step's lse is > -1e30 even for fully masked rows)
+    lse0 = jnp.full((B, Lq, H, 1), -1e30, jnp.float32)
+    if hasattr(lax, "pvary"):
+        out0, lse0 = (lax.pvary(x, axis_name) for x in (out0, lse0))
+    carry0 = (k, v, q_valid, q_seg, out0, lse0)
+    (_, _, _, _, out, _lse), _ = lax.scan(step, carry0, None, length=n)
+    return out.astype(q.dtype)
+
+
 def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
-                                axis_name: str = "sp"):
+                                axis_name: str = "sp", impl: str = "lax",
+                                interpret: bool = False):
     """Array-level wrapper: shards the sequence dim of global [B, L, H, D]
-    inputs over ``axis_name`` and runs ring_attention under shard_map."""
+    inputs over ``axis_name`` and runs ring attention under shard_map.
+
+    impl: 'lax' (differentiable, ppermute+scan online-softmax) or 'flash'
+    (Pallas kernel per ring step with the permute overlapped; forward-only).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
@@ -117,10 +184,26 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
     qkv_spec = P(None, axis_name, None, None)
     lbl_spec = P(None, axis_name)
 
-    fn = shard_map(
-        functools.partial(ring_attention, axis_name=axis_name),
-        mesh=mesh,
-        in_specs=(qkv_spec, qkv_spec, qkv_spec, lbl_spec, lbl_spec),
-        out_specs=qkv_spec,
-    )
+    if impl == "flash":
+        body = functools.partial(ring_flash_attention, axis_name=axis_name,
+                                 interpret=interpret)
+    else:
+        body = functools.partial(ring_attention, axis_name=axis_name)
+    if impl == "flash" and hasattr(jax, "shard_map"):
+        # pallas_call's out_shape carries no varying-mesh-axes annotation;
+        # disable the vma check for the kernel path (jax.shard_map API)
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(qkv_spec, qkv_spec, qkv_spec, lbl_spec, lbl_spec),
+            out_specs=qkv_spec,
+            check_vma=False,
+        )
+    else:
+        fn = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(qkv_spec, qkv_spec, qkv_spec, lbl_spec, lbl_spec),
+            out_specs=qkv_spec,
+        )
     return fn(q, k, v, is_valid.astype(jnp.int32), segment_ids.astype(jnp.int32))

@@ -38,17 +38,33 @@ def run_pretraining(
     save_every: Optional[int] = None,
     log_fn: Callable[[int, Dict[str, float]], None] = None,
     zero1: bool = True,
+    tracker=None,
 ):
     """Run (or resume) pretraining; returns the final TrainState.
 
     :param batch_iterator: yields collated global batches (data/loader.py)
     :param num_steps: overrides cfg.optimizer.num_train_steps
     :param output_dir: checkpoint directory (no checkpointing if None)
+    :param tracker: utils.experiment.Tracker (the reference's wandb slot,
+        train.py:74-78). Defaults to a JsonlTracker under output_dir on
+        host 0; pass a tracker (or NullTracker()) to override.
     """
     num_steps = num_steps or cfg.optimizer.num_train_steps
     save_every = save_every or cfg.device.iterations_per_loop
     output_dir = output_dir or (cfg.device.output_dir or None)
     mesh = mesh or make_mesh(dp=cfg.device.dp, tp=cfg.device.tp)
+
+    if tracker is None:
+        from merlot_reserve_tpu.utils.experiment import make_tracker
+
+        spec = f"jsonl:{os.path.join(output_dir, 'run')}" if output_dir else None
+        tracker = make_tracker(spec, host_index=jax.process_index())
+    import dataclasses
+
+    try:
+        tracker.log_config(dataclasses.asdict(cfg))
+    except TypeError:
+        tracker.log_config({"config": repr(cfg)})
 
     model = MerlotReservePretrainer.from_config(cfg)
 
@@ -77,8 +93,10 @@ def run_pretraining(
         state, metrics = step_fn(state, batch_dev)
 
         ready = metrics_q.push(step, metrics)
-        if ready is not None and log_fn is not None:
-            log_fn(*ready)
+        if ready is not None:
+            tracker.log(*ready)
+            if log_fn is not None:
+                log_fn(*ready)
 
         if output_dir and (step + 1) % save_every == 0:
             ckpt_lib.save_checkpoint(state, output_dir)
@@ -102,8 +120,11 @@ def run_pretraining(
                 break
 
     for ready in metrics_q.drain():
-        if log_fn is not None and ready is not None:
-            log_fn(*ready)
+        if ready is not None:
+            tracker.log(*ready)
+            if log_fn is not None:
+                log_fn(*ready)
+    tracker.finish()
     if output_dir:
         ckpt_lib.save_checkpoint(state, output_dir)
     return state

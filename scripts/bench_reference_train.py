@@ -117,20 +117,28 @@ def main():
 
         p1, pN = multi_step(1), multi_step(n_chain)
 
+        # best-of-3 each: one slow host-side stall (this is a 1-core box
+        # behind a relay) would otherwise poison the subtraction
         rep_state, info = p1(rep_state, batch)  # compile + warmup
         sync(info)
-        t0 = time.time()
-        rep_state, info = p1(rep_state, batch)
-        sync(info)
-        t1 = time.time() - t0
+        t1 = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            rep_state, info = p1(rep_state, batch)
+            sync(info)
+            t1 = min(t1, time.time() - t0)
 
         rep_state, info = pN(rep_state, batch)  # compile + warmup
         sync(info)
-        t0 = time.time()
-        rep_state, info = pN(rep_state, batch)
-        loss = sync(info)
-        tN = time.time() - t0
+        tN = float("inf")
+        loss = None
+        for _ in range(3):
+            t0 = time.time()
+            rep_state, info = pN(rep_state, batch)
+            loss = sync(info)
+            tN = min(tN, time.time() - t0)
 
+        print(f"# bsz={bsz}: t1={t1:.3f}s tN={tN:.3f}s", file=sys.stderr)
         step_s = (tN - t1) / (n_chain - 1)
         segs = bsz * cfg.data.num_segments / step_s
         rec = {
