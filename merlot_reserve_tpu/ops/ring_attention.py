@@ -167,8 +167,10 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
     """Array-level wrapper: shards the sequence dim of global [B, L, H, D]
     inputs over ``axis_name`` and runs ring attention under shard_map.
 
-    impl: 'lax' (differentiable, ppermute+scan online-softmax) or 'flash'
-    (Pallas kernel per ring step with the permute overlapped; forward-only).
+    impl: 'lax' (differentiable, ppermute+scan online-softmax), 'flash'
+    (Pallas kernel per ring step with the permute overlapped; forward-only),
+    or 'rdma' (single Pallas kernel, in-kernel async remote DMA ring;
+    forward-only, VMEM-bounded shard size).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax.experimental.shard_map import shard_map
@@ -184,12 +186,15 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
     qkv_spec = P(None, axis_name, None, None)
     lbl_spec = P(None, axis_name)
 
-    if impl == "flash":
+    if impl == "rdma":
+        body = functools.partial(ring_flash_attention_rdma,
+                                 axis_name=axis_name, interpret=interpret)
+    elif impl == "flash":
         body = functools.partial(ring_flash_attention, axis_name=axis_name,
                                  interpret=interpret)
     else:
         body = functools.partial(ring_attention, axis_name=axis_name)
-    if impl == "flash" and hasattr(jax, "shard_map"):
+    if impl in ("flash", "rdma") and hasattr(jax, "shard_map"):
         # pallas_call's out_shape carries no varying-mesh-axes annotation;
         # disable the vma check for the kernel path (jax.shard_map API)
         fn = jax.shard_map(
@@ -207,3 +212,194 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
             out_specs=qkv_spec,
         )
     return fn(q, k, v, is_valid.astype(jnp.int32), segment_ids.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# in-kernel RDMA ring (single Pallas kernel per device)
+# ---------------------------------------------------------------------------
+
+
+def _rdma_ring_kernel(q_ref, k_ref, v_ref, qlab_ref, klab_ref, o_ref,
+                      comm_k, comm_v, comm_lab, acc, m_scr, l_scr,
+                      send_sem, recv_sem, cap_sem,
+                      *, axis_name: str, n_dev: int, block_q: int,
+                      scale: float):
+    """Whole ring in ONE kernel: K/V (+labels) live in double-buffered VMEM
+    scratch and hop to the right neighbor via async remote DMA, overlapped
+    with the flash compute on the resident slot (pallas_guide.md "Ring
+    Collectives" pattern). Slot protocol: step s computes on slot s%2 and
+    sends it into the remote slot (s+1)%2; a capacity semaphore from the
+    right neighbor provides backpressure so a fast sender can never
+    overwrite an unconsumed buffer (signals after compute at steps
+    r <= n-3 exactly balance waits at sends s >= 1 — all semaphores drain
+    to zero by kernel end, as mosaic requires).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    my_id = lax.axis_index(axis_name)
+    right = lax.rem(my_id + 1, n_dev)
+    left = lax.rem(my_id + n_dev - 1, n_dev)
+
+    B, H, Lq, D = q_ref.shape
+    Lk = k_ref.shape[2]
+    num_q_blocks = Lq // block_q
+
+    comm_k[0] = k_ref[...]
+    comm_v[0] = v_ref[...]
+    comm_lab[0] = klab_ref[...]
+    acc[...] = jnp.zeros_like(acc)
+    m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+    l_scr[...] = jnp.zeros_like(l_scr)
+
+    def ring_step(step, _):
+        send_slot = lax.rem(step, 2)
+        recv_slot = 1 - send_slot
+
+        # declarative descriptors; started/waited under pl.when guards
+        rdmas = [
+            pltpu.make_async_remote_copy(
+                src_ref=buf.at[send_slot], dst_ref=buf.at[recv_slot],
+                send_sem=send_sem.at[i], recv_sem=recv_sem.at[i],
+                device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            for i, buf in enumerate((comm_k, comm_v, comm_lab))
+        ]
+
+        @pl.when(jnp.logical_and(step < n_dev - 1, step >= 1))
+        def _wait_capacity():
+            # right neighbor must have consumed the slot we're about to fill
+            pltpu.semaphore_wait(cap_sem.at[recv_slot], 1)
+
+        @pl.when(step < n_dev - 1)
+        def _send():
+            for r in rdmas:
+                r.start()
+
+        # ---- flash compute on the resident slot (overlaps the DMA) ----
+        k_all = comm_k[send_slot]        # [B, H, Lk, D]
+        v_all = comm_v[send_slot]
+        lab = comm_lab[send_slot]        # [B, 2, Lk]
+
+        def bh_body(bh, _):
+            b = bh // H
+            h = lax.rem(bh, H)
+            k_bh = k_all[b, h].astype(jnp.float32)     # [Lk, D]
+            v_bh = v_all[b, h].astype(jnp.float32)
+            k_valid = lab[b, 0]
+            k_seg = lab[b, 1]
+
+            def q_body(qi, _):
+                qs = pl.ds(qi * block_q, block_q)
+                q_blk = q_ref[b, h, qs, :].astype(jnp.float32) * scale
+                s = jnp.dot(q_blk, k_bh.T,
+                            preferred_element_type=jnp.float32)
+                q_valid = qlab_ref[b, 0, qs]
+                q_seg = qlab_ref[b, 1, qs]
+                mask = (q_valid[:, None] > 0) & (k_valid[None, :] > 0) & \
+                    (q_seg[:, None] == k_seg[None, :])
+                s = jnp.where(mask, s, _NEG_INF)
+
+                m_prev = m_scr[b, h, qs]
+                l_prev = l_scr[b, h, qs]
+                m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+                corr = jnp.exp(m_prev - m_cur)
+                p = jnp.exp(s - m_cur[:, None])
+                l_scr[b, h, qs] = l_prev * corr + jnp.sum(p, axis=-1)
+                acc[b, h, qs, :] = acc[b, h, qs, :] * corr[:, None] + \
+                    jnp.dot(p, v_bh, preferred_element_type=jnp.float32)
+                m_scr[b, h, qs] = m_cur
+                return 0
+
+            lax.fori_loop(0, num_q_blocks, q_body, 0)
+            return 0
+
+        lax.fori_loop(0, B * H, bh_body, 0)
+
+        @pl.when(step < n_dev - 1)
+        def _wait():
+            # send completion locally + our incoming copies (SPMD: the left
+            # neighbor's identical transfer signals our recv semaphores)
+            for r in rdmas:
+                r.wait()
+
+        @pl.when(step <= n_dev - 3)
+        def _free_slot():
+            # tell our LEFT neighbor this slot may be refilled — only AFTER
+            # rdma.wait(): both our compute on the slot and our outgoing
+            # DMA *reading* it are done (signaling earlier lets the
+            # neighbor's next hop overwrite data still in flight)
+            pltpu.semaphore_signal(cap_sem.at[send_slot], inc=1,
+                                   device_id=left,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+        return 0
+
+    lax.fori_loop(0, n_dev, ring_step, 0)
+
+    l_fin = l_scr[...]
+    l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
+    o_ref[...] = (acc[...] / l_safe[..., None]).astype(o_ref.dtype)
+
+
+def ring_flash_attention_rdma(q, k, v, is_valid, segment_ids,
+                              axis_name: str = "sp", block_q: int = 256,
+                              interpret: bool = False):
+    """Exact ring attention as ONE Pallas kernel per device: K/V + labels
+    rotate chip-to-chip with double-buffered async remote DMA entirely in
+    VMEM, no HBM round-trips between ring steps (the lax/ppermute paths
+    bounce K/V through HBM every hop). Forward-only; requires the local
+    K/V shard x2 buffers + the f32 accumulator to fit VMEM (~Lloc <= 1k at
+    base head sizes in bf16) — use ``ring_flash_attention`` beyond that.
+
+    Arguments are LOCAL shards under shard_map, same contract as
+    ``ring_attention``. interpret=True runs the TPU interpret mode (CPU
+    tests simulate the RDMA semantics faithfully, incl. semaphores).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_dev = int(lax.psum(1, axis_name))  # static under shard_map tracing
+    if n_dev == 1:
+        from merlot_reserve_tpu.ops.attention import _flash_forward
+
+        out, _ = _flash_forward(q, k, v, is_valid.astype(jnp.int32),
+                                segment_ids.astype(jnp.int32),
+                                block_q=block_q, block_k=block_q,
+                                interpret=interpret)
+        return out
+
+    B, Lq, H, D = q.shape
+    scale = float(1.0 / np.sqrt(D))
+    assert Lq % block_q == 0 or Lq < block_q, \
+        f"L_local={Lq} must divide into block_q={block_q} blocks"
+    bq = min(block_q, Lq)
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    qlab = jnp.stack([is_valid.astype(jnp.int32),
+                      segment_ids.astype(jnp.int32)], 1)
+
+    kernel = functools.partial(_rdma_ring_kernel, axis_name=axis_name,
+                               n_dev=n_dev, block_q=bq, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + kt.shape, kt.dtype),        # comm_k
+            pltpu.VMEM((2,) + vt.shape, vt.dtype),        # comm_v
+            pltpu.VMEM((2,) + qlab.shape, jnp.int32),     # comm_lab
+            pltpu.VMEM(qt.shape, jnp.float32),            # acc
+            pltpu.VMEM(qt.shape[:3], jnp.float32),        # m
+            pltpu.VMEM(qt.shape[:3], jnp.float32),        # l
+            pltpu.SemaphoreType.DMA((3,)),                # send
+            pltpu.SemaphoreType.DMA((3,)),                # recv
+            pltpu.SemaphoreType.REGULAR((2,)),            # capacity
+        ],
+        interpret=(pltpu.InterpretParams() if interpret else False),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            collective_id=7,
+        ) if not interpret else None,
+    )(qt, kt, vt, qlab, qlab)
+    return out.transpose(0, 2, 1, 3)

@@ -110,3 +110,24 @@ def test_ring_flash_packed_video_blocks(sp_mesh):
                                      segment_ids=jnp.asarray(segs))))
     mask = valid[..., None, None]
     np.testing.assert_allclose(out_flash * mask, out_full * mask, atol=2e-5)
+
+
+def test_ring_rdma_matches_full(sp_mesh):
+    """In-kernel RDMA ring (single Pallas kernel, double-buffered remote
+    DMA, capacity-semaphore backpressure) vs full attention — interpret
+    mode simulates the inter-device DMA + semaphores faithfully."""
+    rng = np.random.RandomState(5)
+    B, L, H, D = 2, 128, 2, 16
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(B, L) > 0.2)
+    segs = jnp.asarray(np.sort(rng.randint(0, 3, (B, L)), -1))
+
+    out_rdma = sequence_parallel_attention(
+        sp_mesh, q, k, v, valid, segs, impl="rdma", interpret=True)
+    out_full = xla_attention(q, k, v, make_attention_bias(is_valid=valid,
+                                                          segment_ids=segs))
+    mask = np.asarray(valid)[..., None, None]
+    np.testing.assert_allclose(np.asarray(out_rdma) * mask,
+                               np.asarray(out_full) * mask, atol=2e-5)
