@@ -69,6 +69,16 @@ class ModelConfig:
     # Param layout: stacked [L, ...] under 'layers'; checkpoint IO converts
     # to/from the reference's per-layer naming.
     scan_layers: bool = True
+    # Parallelism knobs for the JOINT transformer (the deep/long tower; the
+    # reference is pure-DP, SURVEY.md §2.13). Both need an active mesh
+    # (parallel.mesh.activate_mesh — make_jit_train_step does this).
+    #   seq_shard_axis: shard joint activations' sequence dim over this mesh
+    #     axis (sequence parallelism; GSPMD inserts the K/V collectives).
+    #   pipeline_axis: shard the scan-stacked layer dim over this mesh axis
+    #     and stream microbatches through the stages (parallel/pipeline.py).
+    seq_shard_axis: Optional[str] = None
+    pipeline_axis: Optional[str] = None
+    pipeline_microbatches: int = 2
 
     def __post_init__(self):
         assert self.hidden_size % self.size_per_head == 0

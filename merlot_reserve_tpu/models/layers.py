@@ -169,6 +169,16 @@ class TransformerEncoder(nn.Module):
     # 'layers'; utils/checkpoint.py stack/unstack converts to the reference's
     # per-layer 'layer_NN' naming.
     scan_layers: bool = False
+    # sequence parallelism: shard the activations' sequence dim over this
+    # mesh axis (requires an active mesh, parallel.mesh.activate_mesh); GSPMD
+    # inserts the K/V collectives. Explicit ring attention lives in
+    # ops/ring_attention.py for long-context use.
+    seq_shard_axis: Optional[str] = None
+    # pipeline parallelism: shard the stacked layer dim over this mesh axis
+    # and stream microbatches through the stages (parallel/pipeline.py).
+    # Requires scan_layers=True (stacked param layout) and an active mesh.
+    pipeline_axis: Optional[str] = None
+    pipeline_microbatches: int = 2
 
     @nn.compact
     def __call__(self, x, *, rotary_coords=None, attention_mask=None, is_valid=None,
@@ -230,13 +240,43 @@ class TransformerEncoder(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_ln")(x)
 
+        if self.seq_shard_axis and not self.is_initializing():
+            # sequence parallelism: one constraint is enough of a hint —
+            # GSPMD propagates the seq sharding through the layers and
+            # inserts the attention K/V collectives over the axis
+            from jax.sharding import PartitionSpec as P
+            spec = P(*([P.UNCONSTRAINED] * len(batch_dims)),
+                     self.seq_shard_axis, P.UNCONSTRAINED)
+            x = jax.lax.with_sharding_constraint(x, spec)
+
         layer_kwargs = dict(
             hidden_size=self.hidden_size, expansion_mult=self.expansion_mult,
             size_per_head=self.size_per_head, dtype=self.dtype,
             attention_impl=resolved_impl,
             rotary_sign_quirk=self.rotary_sign_quirk)
 
-        if self.scan_layers:
+        if self.pipeline_axis and not self.is_initializing():
+            # pipeline parallelism: apply the scan-stacked layer params via
+            # the shard_map pipeline. Init still runs the nn.scan path below
+            # (identical param creation); at apply time the stacked tree is
+            # read off this module's bound scope.
+            assert self.scan_layers, "pipeline_axis requires scan_layers=True"
+            assert len(batch_dims) == 1, "pipeline expects [B, L, H] input"
+            from merlot_reserve_tpu.parallel.mesh import current_mesh
+            from merlot_reserve_tpu.parallel.pipeline import pipeline_transformer
+
+            mesh = current_mesh()
+            assert mesh is not None, (
+                "pipeline_axis set but no active mesh — wrap the step in "
+                "parallel.mesh.activate_mesh(mesh)")
+            stacked = self.variables["params"]["layers"]
+            layer_template = TransformerLayer(scan_format=True, **layer_kwargs)
+            x = pipeline_transformer(
+                stacked, x, sinusoids=sinusoids, is_valid=is_valid,
+                segment_ids=segment_ids, attention_bias=attention_bias,
+                layer=layer_template, mesh=mesh, axis=self.pipeline_axis,
+                num_microbatches=self.pipeline_microbatches)
+        elif self.scan_layers:
             layer_cls = TransformerLayer
             if self.remat:
                 layer_cls = nn.remat(layer_cls, prevent_cse=False)

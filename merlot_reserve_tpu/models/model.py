@@ -91,6 +91,9 @@ class MerlotReserve(nn.Module):
             num_layers=cfg.joint_num_layers,
             add_cls_token=False,
             remat=cfg.gradient_checkpoint,
+            seq_shard_axis=cfg.seq_shard_axis,
+            pipeline_axis=cfg.pipeline_axis,
+            pipeline_microbatches=cfg.pipeline_microbatches,
             **common,
         )
         self.joint_proj = nn.Dense(features=cfg.hidden_size, dtype=self.dtype,

@@ -33,6 +33,16 @@ from jax import lax
 _NEG_INF = -1e10
 
 
+def _pvary(x, axis_name):
+    # mark an unvarying array as varying over the ring axis so the scan
+    # carry types line up under shard_map's varying-axis checks
+    if hasattr(lax, "pcast"):  # JAX >= 0.9
+        return lax.pcast(x, axis_name, to="varying")
+    if hasattr(lax, "pvary"):
+        return lax.pvary(x, axis_name)
+    return x
+
+
 def _partial_attention(q, k_blk, v_blk, q_valid, q_seg, k_valid, k_seg, scale):
     """One block's contribution: masked scores + un-normalized softmax stats.
 
@@ -89,8 +99,7 @@ def ring_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp"):
     l0 = jnp.zeros((B, H, Lq), jnp.float32)
     # under shard_map's varying-axis typing, the running stats must be marked
     # as varying over the ring axis to match the loop outputs
-    if hasattr(lax, "pvary"):
-        acc0, m0, l0 = (lax.pvary(x, axis_name) for x in (acc0, m0, l0))
+    acc0, m0, l0 = (_pvary(x, axis_name) for x in (acc0, m0, l0))
     carry0 = (k, v, q_valid, q_seg, acc0, m0, l0)
     (_, _, _, _, acc, _m, l), _ = lax.scan(step, carry0, None, length=n)
 
@@ -154,8 +163,7 @@ def ring_flash_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp",
     # finite "-inf": keeps exp(lse_run - lse_new) well-defined on the first
     # merge (every real step's lse is > -1e30 even for fully masked rows)
     lse0 = jnp.full((B, Lq, H, 1), -1e30, jnp.float32)
-    if hasattr(lax, "pvary"):
-        out0, lse0 = (lax.pvary(x, axis_name) for x in (out0, lse0))
+    out0, lse0 = (_pvary(x, axis_name) for x in (out0, lse0))
     carry0 = (k, v, q_valid, q_seg, out0, lse0)
     (_, _, _, _, out, _lse), _ = lax.scan(step, carry0, None, length=n)
     return out.astype(q.dtype)

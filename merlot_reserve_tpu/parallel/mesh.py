@@ -7,8 +7,19 @@ pretrain/dataloader.py:920-930). Here the equivalent is an explicit
 
   * ``dp`` — data parallel; batches shard over it, gradients psum over it,
     contrastive negatives all-gather over it (all on ICI).
+  * ``sp`` — sequence parallel: joint-transformer activations shard their
+    sequence dim over it (``TransformerEncoder.seq_shard_axis``); the ring
+    collectives live in ops/ring_attention.py.
+  * ``pp`` — pipeline parallel: the stacked layer dim of scan-layout
+    transformer params shards over it and microbatches flow through the
+    stages (parallel/pipeline.py).
   * ``tp`` — tensor parallel for the big joint transformer (weights shard
     over it); size 1 reproduces the reference's pure-DP world.
+
+Axis order is (dp, sp, pp, tp): tp innermost so its collectives ride
+adjacent-chip ICI links, dp outermost so gradient psums tolerate the
+slower hops (multi-slice DCN). Size-1 axes are kept in the mesh — specs
+mentioning them are no-ops, so one sharding rule set serves every layout.
 
 Multi-host: ``jax.distributed.initialize`` + the same global mesh; pjit
 handles cross-host addressability. Tests use a CPU mesh via
@@ -17,6 +28,8 @@ handles cross-host addressability. Tests use a CPU mesh via
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional, Sequence
 
 import jax
@@ -24,13 +37,47 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(dp: int = -1, tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (dp, tp) mesh. dp=-1 means all remaining devices."""
+def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (dp, sp, pp, tp) mesh. dp=-1 means all remaining devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    rest = sp * pp * tp
     if dp == -1:
-        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != device count ({n})"
-    dev_array = np.asarray(devices).reshape(dp, tp)
-    return Mesh(dev_array, axis_names=("dp", "tp"))
+        assert n % rest == 0, f"{n} devices not divisible by sp*pp*tp={rest}"
+        dp = n // rest
+    assert dp * rest == n, f"dp({dp})*sp({sp})*pp({pp})*tp({tp}) != {n} devices"
+    dev_array = np.asarray(devices).reshape(dp, sp, pp, tp)
+    return Mesh(dev_array, axis_names=("dp", "sp", "pp", "tp"))
+
+
+_ACTIVE_MESH: contextvars.ContextVar[Optional[Mesh]] = contextvars.ContextVar(
+    "merlot_active_mesh", default=None)
+
+
+def current_mesh() -> Optional[Mesh]:
+    """The mesh most recently activated with :func:`activate_mesh` (the mesh
+    model internals — sharding constraints, the pipeline shard_map — resolve
+    named axes against)."""
+    return _ACTIVE_MESH.get()
+
+
+@contextlib.contextmanager
+def activate_mesh(mesh: Mesh):
+    """Make ``mesh`` the ambient mesh for tracing/execution.
+
+    Enters ``jax.sharding.use_mesh`` (so bare-PartitionSpec
+    ``with_sharding_constraint`` resolves) and records the concrete mesh for
+    :func:`current_mesh` (shard_map call sites need the Mesh object itself).
+    """
+    token = _ACTIVE_MESH.set(mesh)
+    try:
+        use_mesh = getattr(jax.sharding, "use_mesh", None)
+        if use_mesh is not None:
+            with use_mesh(mesh):
+                yield mesh
+        else:  # older JAX: sharding constraints fall back to mesh ctx manager
+            with mesh:
+                yield mesh
+    finally:
+        _ACTIVE_MESH.reset(token)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from merlot_reserve_tpu.models.pretrainer import loss_fn_given_preds
+from merlot_reserve_tpu.parallel.mesh import activate_mesh
 from merlot_reserve_tpu.parallel.sharding import batch_sharding, state_shardings
 from merlot_reserve_tpu.utils.checkpoint import bf16_to_f32, f32_to_bf16
 
@@ -68,7 +69,16 @@ def make_jit_train_step(mesh: Mesh, state, step_fn: Callable = train_step,
         donate_argnums=(0,) if donate else (),
         static_argnums=(2,) if step_fn is train_step else (),
     )
-    return jitted, state
+
+    @functools.wraps(jitted)
+    def with_mesh(*args, **kwargs):
+        # trace/execute under the ambient mesh so in-model sharding
+        # constraints (seq_shard_axis) and the pipeline shard_map
+        # (pipeline_axis) resolve their named axes
+        with activate_mesh(mesh):
+            return jitted(*args, **kwargs)
+
+    return with_mesh, state
 
 
 class MetricsQueue:

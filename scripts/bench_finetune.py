@@ -1,0 +1,364 @@
+"""Measure finetune-step throughput on this chip: ours vs the reference
+(BASELINE.json configs 3-4).
+
+* VCR (config 3): base model, grid 18x32, lang_seq 144, 2 tasks x 4 options
+  (finetune/vcr/qa_qar_joint_finetune.py:102-121). Both sides consume the
+  same synthetic batch arrays.
+* TVQA (config 4, ours): base model, 7 segments, lang_seq 256, two streams
+  x 5 options (finetune/tvqa/tvqa_finetune.py:105-131).
+
+Reference side: its VCR model head is reconstructed verbatim-in-semantics
+(the script it lives in, qa_qar_joint_finetune.py:144-176, runs argparse +
+dataset IO at import time so it cannot be imported) on top of its own
+mreserve.modeling.MerlotReserve, and stepped with its own
+scale_by_bfloat16_adam / subtract_old_weights chain
+(finetune/optimization.py:55-104, imported read-only). Its hand-rolled
+8-local-core Adam sharding (finetune/optimization.py:37-52,148-171) needs 8
+local devices and is a memory-layout optimization, not a compute change —
+on one chip the step is its exact semantic equivalent:
+value_and_grad(bf16) -> nan_to_num -> pmean -> apply_gradients.
+
+Timing: N steps chained in one lax.scan under jit/pmap; per-step =
+(t(N)-t(1))/(N-1) (cancels the dev relay's per-execution overhead, see
+CLAUDE.md). Prints one JSON line per task.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+VCR_BATCH = 4   # per-chip slice of the recipe's bs 32 on a v3-8
+TVQA_BATCH = 4
+N_CHAIN = int(os.environ.get("BENCH_CHAIN", "8"))
+
+
+def _shim_legacy_jax():
+    import jax
+
+    if not hasattr(jax, "tree_map"):
+        jax.tree_map = jax.tree.map
+    if not hasattr(jax, "tree_multimap"):
+        jax.tree_multimap = jax.tree.map
+    try:
+        import jax._src.api as _api
+
+        if not hasattr(_api, "device_put_sharded"):
+            _api.device_put_sharded = jax.device_put_sharded
+    except Exception:
+        pass
+
+
+def _sync(tree):
+    import jax
+
+    leaf = jax.tree.leaves(tree)[0]
+    return float(np.asarray(leaf).reshape(-1)[0])
+
+
+def _time_chained(run1, runN, state, batch):
+    state, info = run1(state, batch)
+    _sync(info)
+    t1 = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        state, info = run1(state, batch)
+        _sync(info)
+        t1 = min(t1, time.time() - t0)
+    state, info = runN(state, batch)
+    _sync(info)
+    tN = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        state, info = runN(state, batch)
+        loss = _sync(info)
+        tN = min(tN, time.time() - t0)
+    return (tN - t1) / (N_CHAIN - 1), loss
+
+
+def _vcr_batch_np(bsz, grid, lang_seq, rng):
+    from merlot_reserve_tpu.tokenizer import MASK
+
+    hw = grid[0] * grid[1]
+    answers = rng.randint(10, 30000, (bsz, 2, 4, lang_seq)).astype(np.int32)
+    answers[..., -1] = MASK
+    return {
+        "image": rng.randn(bsz, hw, 768).astype(np.float32),
+        "answers": answers,
+        "labels": rng.randint(0, 4, (bsz, 2)).astype(np.int32),
+    }
+
+
+def bench_ours_vcr(grid=(18, 32), lang_seq=144):
+    import jax
+    import jax.numpy as jnp
+
+    import merlot_reserve_tpu as mr
+    from merlot_reserve_tpu.finetune.models import MerlotReserveVCR, adapt_pretrained_params
+    from merlot_reserve_tpu.finetune.train import finetune_train_step, vcr_loss_fn
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.parallel.sharding import batch_sharding, state_shardings
+    from merlot_reserve_tpu.training.optimization import construct_finetuning_train_state
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = mr.load_config("base", output_grid=grid, use_bfloat16=on_tpu,
+                         scan_layers=False)
+    cfg = cfg.replace_data(lang_seq_len=lang_seq)
+    model = MerlotReserveVCR.from_config(cfg)
+
+    rng = np.random.RandomState(0)
+    batch_np = _vcr_batch_np(VCR_BATCH, grid, lang_seq, rng)
+    params = model.init_params(batch_np)
+    params = adapt_pretrained_params(dict(params), cfg.model.hidden_size,
+                                     drop_audio=True)
+    state = construct_finetuning_train_state(cfg.optimizer, model, params)
+
+    mesh = make_mesh(dp=1, devices=jax.devices()[:1])
+    s_shardings = state_shardings(mesh, state, zero1=False)
+    b_sharding = batch_sharding(mesh)
+    state = jax.device_put(state, s_shardings)
+    batch = {k: jax.device_put(jnp.asarray(v), b_sharding)
+             for k, v in batch_np.items()}
+
+    def multi(n):
+        def chained(state, batch):
+            def body(s, _):
+                s2, info = finetune_train_step(s, batch, loss_fn=vcr_loss_fn)
+                return s2, info
+
+            state, infos = jax.lax.scan(body, state, None, length=n)
+            return state, jax.tree.map(lambda x: x[-1], infos)
+
+        return jax.jit(chained, in_shardings=(s_shardings, b_sharding),
+                       out_shardings=(s_shardings, NamedSharding(mesh, P())),
+                       donate_argnums=(0,))
+
+    return _time_chained(multi(1), multi(N_CHAIN), state, batch)
+
+
+def bench_reference_vcr(grid=(18, 32), lang_seq=144):
+    import jax
+
+    _shim_legacy_jax()
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import yaml
+
+    sys.path.insert(1, "/root/reference")
+    if "tensorflow_datasets" not in sys.modules:
+        sys.modules["tensorflow_datasets"] = types.ModuleType("tensorflow_datasets")
+
+    import finetune.optimization as ref_fopt
+    import mreserve.modeling as ref_modeling
+    from mreserve.checkpoint import bf16_to_f32, f32_to_bf16
+
+    from merlot_reserve_tpu.tokenizer import MASK
+
+    # reconstruction of qa_qar_joint_finetune.py:144-176 (not importable:
+    # module-level argparse + dataset IO); every op mirrors those lines
+    class RefVCR(ref_modeling.MerlotReserve):
+        def setup(self):
+            super().setup()
+            self.proj = nn.Dense(features=1, dtype=self.dtype,
+                                 kernel_init=jax.nn.initializers.normal(stddev=0.02),
+                                 name="proj", use_bias=False)
+
+        def __call__(self, batch):
+            batch_size, two_, num_ans_per, token_length = batch["answers"].shape
+            answers2d = batch["answers"].reshape(
+                batch_size * 2 * num_ans_per, token_length)
+            imgs_enc = self.vision_encoder(batch["image"])["seq_attnpool"].repeat(
+                2 * num_ans_per, axis=0)
+            mm_inputs = self.prepare_multimodal_inputs(
+                tokens=answers2d,
+                token_segment_idx=jnp.zeros(
+                    [batch_size * 2 * num_ans_per, token_length], dtype=jnp.int32),
+                vision_input=imgs_enc,
+            )
+            joint_encoding = self.joint_transformer(**mm_inputs)["seq"]
+            joint_encoding = joint_encoding[:, :token_length].reshape(
+                batch_size * 2 * num_ans_per, token_length, self.hidden_size)
+            pool_idx = jnp.argmax((answers2d == MASK).astype(jnp.float32), 1)
+            pooled_h = joint_encoding[
+                jnp.arange(batch_size * 2 * num_ans_per), pool_idx]
+            return self.proj(pooled_h).reshape([batch_size, 2, num_ans_per])
+
+    with open("/root/reference/pretrain/configs/base.yaml") as f:
+        config = yaml.safe_load(f)
+    config["model"]["output_grid"] = list(grid)
+    config["data"]["lang_seq_len"] = lang_seq
+    config["model"]["use_bfloat16"] = jax.default_backend() == "tpu"
+    model = RefVCR.from_config(config)
+
+    rng = np.random.RandomState(0)
+    batch_np = _vcr_batch_np(VCR_BATCH, grid, lang_seq, rng)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.PRNGKey(0),
+                            {k: jnp.asarray(v) for k, v in batch_np.items()})[
+            "params"]
+    params = dict(params)
+    for k in ["audio_encoder", "head", "span_encoder"]:
+        params.pop(k, None)
+
+    opt_cfg = dict(config["optimizer"])
+    opt_cfg.setdefault("learning_rate", 1e-5)
+    opt_cfg.setdefault("num_train_steps", 33240)
+    opt_cfg.setdefault("num_warmup_steps", 1662)
+    state = ref_fopt.construct_finetuning_train_state(
+        opt_cfg, model, params, only_state=True)
+
+    def train_loss_fn(state, params, batch):
+        # qa_qar_joint_finetune.py:190-196
+        logits = state.apply_fn({"params": params}, batch)
+        log_p = jax.nn.log_softmax(logits, axis=-1)
+        labels_oh = jax.nn.one_hot(batch["labels"], dtype=log_p.dtype,
+                                   num_classes=log_p.shape[-1])
+        loss = -jnp.mean(jnp.sum(labels_oh * log_p, axis=-1))
+        return loss, {"loss": loss}
+
+    def step(state, batch):
+        # finetune/optimization.py:119-143 sans the 8-local-core Adam
+        # reshard (memory layout only; needs 8 devices)
+        def _loss_fn(p):
+            return train_loss_fn(state, p, batch)
+
+        params = f32_to_bf16(state.params)
+        (loss, loss_info), grads = jax.value_and_grad(
+            _loss_fn, has_aux=True)(params)
+        grads = jax.tree.map(lambda x: jnp.nan_to_num(x, copy=False), grads)
+        grads = jax.lax.pmean(grads, axis_name="batch")
+        grads = bf16_to_f32(grads)
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, jax.lax.pmean(loss_info, axis_name="batch")
+
+    devices = jax.devices()[:1]
+
+    def multi(n):
+        def chained(state, batch):
+            def body(s, _):
+                return step(s, batch)
+
+            state, infos = jax.lax.scan(body, state, None, length=n)
+            return state, jax.tree.map(lambda x: x[-1], infos)
+
+        return jax.pmap(chained, axis_name="batch", donate_argnums=(0,),
+                        devices=devices)
+
+    from flax import jax_utils
+
+    state = jax_utils.replicate(state, devices)
+    batch = {k: jnp.asarray(v)[None] for k, v in batch_np.items()}
+    return _time_chained(multi(1), multi(N_CHAIN), state, batch)
+
+
+def bench_ours_tvqa(num_segments=7, lang_seq=256, grid=(12, 20)):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import merlot_reserve_tpu as mr
+    from merlot_reserve_tpu.finetune.models import MerlotReserveTVQA, adapt_pretrained_params
+    from merlot_reserve_tpu.finetune.train import finetune_train_step, tvqa_loss_fn
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.parallel.sharding import batch_sharding, state_shardings
+    from merlot_reserve_tpu.training.optimization import construct_finetuning_train_state
+    from merlot_reserve_tpu.tokenizer import AUDIOSPAN, MASK
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = mr.load_config("base", output_grid=grid, use_bfloat16=on_tpu,
+                         scan_layers=False)
+    cfg = cfg.replace_data(lang_seq_len=lang_seq, num_segments=num_segments)
+    model = MerlotReserveTVQA.from_config(cfg)
+
+    rng = np.random.RandomState(0)
+    bsz = TVQA_BATCH
+    hw = grid[0] * grid[1]
+    text = rng.randint(10, 30000, (bsz, 5, lang_seq)).astype(np.int32)
+    text[:, :, 24] = MASK
+    seg_ids = np.minimum(np.arange(lang_seq) // (lang_seq // (num_segments + 1)),
+                         num_segments).astype(np.int32)
+    textonly = np.stack([text, np.broadcast_to(seg_ids, text.shape)], -1)
+    audio = text.copy()
+    audio[:, :, 32:32 + 18 * num_segments // 2] = AUDIOSPAN
+    audio_seqs = np.stack([audio, np.broadcast_to(seg_ids, audio.shape)], -1)
+    batch_np = {
+        "images": rng.randn(bsz, num_segments, hw, 768).astype(np.float32),
+        "audio_clips": rng.randn(bsz, num_segments, 3, 60, 65).astype(np.float32),
+        "textonly_seqs": textonly.astype(np.int32),
+        "audio_seqs": audio_seqs.astype(np.int32),
+        "labels": rng.randint(0, 5, (bsz,)).astype(np.int32),
+    }
+    params = model.init_params(batch_np)
+    params = adapt_pretrained_params(dict(params), cfg.model.hidden_size)
+    state = construct_finetuning_train_state(cfg.optimizer, model, params)
+
+    mesh = make_mesh(dp=1, devices=jax.devices()[:1])
+    s_shardings = state_shardings(mesh, state, zero1=False)
+    b_sharding = batch_sharding(mesh)
+    state = jax.device_put(state, s_shardings)
+    batch = {k: jax.device_put(jnp.asarray(v), b_sharding)
+             for k, v in batch_np.items()}
+
+    def multi(n):
+        def chained(state, batch):
+            def body(s, _):
+                s2, info = finetune_train_step(s, batch, loss_fn=tvqa_loss_fn)
+                return s2, info
+
+            state, infos = jax.lax.scan(body, state, None, length=n)
+            return state, jax.tree.map(lambda x: x[-1], infos)
+
+        return jax.jit(chained, in_shardings=(s_shardings, b_sharding),
+                       out_shardings=(s_shardings, NamedSharding(mesh, P())),
+                       donate_argnums=(0,))
+
+    return _time_chained(multi(1), multi(N_CHAIN), state, batch)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    tasks = sys.argv[1:] or ["vcr", "vcr_ref", "tvqa"]
+    out = {}
+    for task in tasks:
+        if task == "vcr":
+            dt, loss = bench_ours_vcr()
+            rec = {"metric": "vcr_finetune_step", "impl": "ours",
+                   "step_ms": round(dt * 1e3, 1),
+                   "examples_per_sec_per_chip": round(VCR_BATCH / dt, 2),
+                   "per_chip_batch": VCR_BATCH, "loss_probe": loss}
+        elif task == "vcr_ref":
+            dt, loss = bench_reference_vcr()
+            rec = {"metric": "vcr_finetune_step", "impl": "reference",
+                   "step_ms": round(dt * 1e3, 1),
+                   "examples_per_sec_per_chip": round(VCR_BATCH / dt, 2),
+                   "per_chip_batch": VCR_BATCH, "loss_probe": loss}
+        elif task == "tvqa":
+            dt, loss = bench_ours_tvqa()
+            rec = {"metric": "tvqa_finetune_step", "impl": "ours",
+                   "step_ms": round(dt * 1e3, 1),
+                   "examples_per_sec_per_chip": round(TVQA_BATCH / dt, 2),
+                   "per_chip_batch": TVQA_BATCH, "loss_probe": loss}
+        else:
+            raise SystemExit(f"unknown task {task}")
+        print(json.dumps(rec), flush=True)
+        out[task] = rec
+    return out
+
+
+if __name__ == "__main__":
+    main()

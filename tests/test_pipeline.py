@@ -1,0 +1,124 @@
+"""Pipeline (pp) and sequence (sp) parallelism equivalence.
+
+The reference has neither (SURVEY.md §2.13: pmap DP only); these are
+beyond-reference capabilities of this framework. The contract is the same as
+test_distributed_equivalence.py: mesh layout must not change the math —
+pipelined / sequence-sharded runs reproduce the single-path outputs, losses,
+and gradients exactly (f32 tolerances).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import merlot_reserve_tpu as mr
+from merlot_reserve_tpu.data.dummy import make_dummy_batch
+from merlot_reserve_tpu.models import MerlotReservePretrainer
+from merlot_reserve_tpu.models.layers import TransformerEncoder
+from merlot_reserve_tpu.parallel import activate_mesh, make_mesh
+from merlot_reserve_tpu.training.optimization import construct_train_state
+from merlot_reserve_tpu.training.trainer import make_jit_train_step
+
+
+# ---------------------------------------------------------------------------
+# encoder level: pipeline_transformer == sequential layers, fwd + grad
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def encoder_setup():
+    B, L, H, NL = 4, 16, 32, 4
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, L, H).astype(np.float32))
+    coords = jnp.asarray(rng.rand(B, L, 2).astype(np.float32))
+    is_valid = jnp.asarray((rng.rand(B, L) > 0.1).astype(np.int32))
+    seg = jnp.asarray((rng.rand(B, L) > 0.5).astype(np.int32))
+    kw = dict(hidden_size=H, num_layers=NL, size_per_head=16, rotary_hsize=8,
+              dtype=jnp.float32, scan_layers=True)
+    enc = TransformerEncoder(**kw)
+    params = enc.init(jax.random.PRNGKey(0), x, rotary_coords=coords,
+                      is_valid=is_valid, segment_ids=seg)["params"]
+    ref = enc.apply({"params": params}, x, rotary_coords=coords,
+                    is_valid=is_valid, segment_ids=seg)["seq"]
+    return kw, params, (x, coords, is_valid, seg), ref
+
+
+@pytest.mark.parametrize("pp,microbatches", [(2, 2), (4, 4), (2, 1)])
+def test_pipeline_encoder_forward(encoder_setup, cpu_devices, pp, microbatches):
+    kw, params, (x, coords, is_valid, seg), ref = encoder_setup
+    mesh = make_mesh(dp=1, pp=pp, devices=cpu_devices[:pp])
+    enc_pp = TransformerEncoder(pipeline_axis="pp",
+                                pipeline_microbatches=microbatches, **kw)
+
+    def f(p, x):
+        return enc_pp.apply({"params": p}, x, rotary_coords=coords,
+                            is_valid=is_valid, segment_ids=seg)["seq"]
+
+    with activate_mesh(mesh):
+        out = jax.jit(f)(params, x)
+    assert float(jnp.abs(out - ref).max()) < 2e-5
+
+
+def test_pipeline_encoder_grads(encoder_setup, cpu_devices):
+    kw, params, (x, coords, is_valid, seg), _ = encoder_setup
+    enc = TransformerEncoder(**kw)
+    enc_pp = TransformerEncoder(pipeline_axis="pp", pipeline_microbatches=2, **kw)
+    mesh = make_mesh(dp=1, pp=2, devices=cpu_devices[:2])
+
+    def loss(module):
+        def _fn(p):
+            y = module.apply({"params": p}, x, rotary_coords=coords,
+                             is_valid=is_valid, segment_ids=seg)["seq"]
+            return (y ** 2).mean()
+        return _fn
+
+    g_ref = jax.grad(loss(enc))(params)
+    with activate_mesh(mesh):
+        g_pp = jax.jit(jax.grad(loss(enc_pp)))(params)
+    worst = max(jax.tree_util.tree_leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), g_ref, g_pp)))
+    assert worst < 2e-5, worst
+
+
+# ---------------------------------------------------------------------------
+# full train step: dp x pp and dp x sp meshes reproduce the dp-only losses
+# ---------------------------------------------------------------------------
+
+
+def _tiny_config(**model_overrides):
+    cfg = mr.load_config(
+        "base", hidden_size=64, joint_num_layers=2, vit_num_layers=2,
+        audio_num_layers=2, span_num_layers=2, size_per_head=32,
+        output_grid=(4, 4), use_bfloat16=False, **model_overrides)
+    return cfg.replace_data(num_segments=4, num_segment_groups=2, seq_len=80,
+                            lang_seq_len=40, num_text_spans_to_include=8)
+
+
+def _one_step(cfg, mesh):
+    model = MerlotReservePretrainer.from_config(cfg)
+    batch = make_dummy_batch(cfg, batch_size=2, seed=0, num_text_spans=16)
+    params = model.init_params(batch)
+    state = construct_train_state(cfg.optimizer, model, params)
+    step_fn, state = make_jit_train_step(mesh, state, zero1=True)
+    bd = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, metrics = step_fn(state, bd)
+    return {k: float(v) for k, v in jax.device_get(metrics).items()}
+
+
+def test_train_step_dp2_pp2_matches_dp2(cpu_devices):
+    base = _one_step(_tiny_config(),
+                     make_mesh(dp=2, devices=cpu_devices[:2]))
+    pp = _one_step(_tiny_config(pipeline_axis="pp", pipeline_microbatches=2),
+                   make_mesh(dp=2, pp=2, devices=cpu_devices[:4]))
+    for k in base:
+        assert abs(base[k] - pp[k]) < 1e-4, (k, base[k], pp[k])
+
+
+def test_train_step_dp2_sp2_matches_dp2(cpu_devices):
+    base = _one_step(_tiny_config(),
+                     make_mesh(dp=2, devices=cpu_devices[:2]))
+    sp = _one_step(_tiny_config(seq_shard_axis="sp"),
+                   make_mesh(dp=2, sp=2, devices=cpu_devices[:4]))
+    for k in base:
+        assert abs(base[k] - sp[k]) < 1e-4, (k, base[k], sp[k])
