@@ -81,14 +81,29 @@ def _key_str(k) -> str:
     return str(k)
 
 
+def _pp_spec_for(path: str, leaf) -> "P":
+    """Pipeline parallelism: scan-stacked joint layer params ([num_layers,
+    ...] leaves under joint_transformer/layers) live sharded over pp — each
+    stage holds only its own layers (parallel/pipeline.py consumes them with
+    matching in_specs, so no resharding happens at the shard_map boundary)."""
+    if re.search(r"joint_transformer/layers/", path) and getattr(leaf, "ndim", 0) >= 1:
+        return P("pp")
+    return P()
+
+
 def param_shardings(mesh: Mesh, params) -> Any:
-    """NamedShardings for the param tree: tp rules apply; everything else
+    """NamedShardings for the param tree: tp/pp rules apply; everything else
     replicated (dp never shards params — that's ZeRO-3 territory)."""
     tp_size = mesh.shape.get("tp", 1)
+    pp_size = mesh.shape.get("pp", 1)
     paths, leaves, treedef = _tree_paths(params)
     specs = []
     for path, leaf in zip(paths, leaves):
-        spec = _tp_spec_for(path, leaf) if tp_size > 1 else P()
+        spec = P()
+        if pp_size > 1:
+            spec = _pp_spec_for(path, leaf)
+        if spec == P() and tp_size > 1:
+            spec = _tp_spec_for(path, leaf)
         specs.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(treedef, specs)
 
@@ -98,9 +113,15 @@ def opt_state_shardings(mesh: Mesh, opt_state, zero1: bool = True) -> Any:
     the same shape family as params, >= dp elements on some dim) shard over
     dp when ``zero1``; scalars/counters replicate."""
     dp_size = mesh.shape.get("dp", 1)
+    pp_size = mesh.shape.get("pp", 1)
 
     def _leaf_sharding(path_leaf):
         path, leaf = path_leaf
+        if pp_size > 1:
+            spec = _pp_spec_for(path, leaf)
+            if spec != P():
+                # moments of pipeline-stage layers live with their stage
+                return NamedSharding(mesh, spec)
         if not zero1 or dp_size == 1:
             return NamedSharding(mesh, P())
         return NamedSharding(mesh, _zero1_spec_for(path, leaf, dp_size))

@@ -96,7 +96,7 @@ def _vcr_batch_np(bsz, grid, lang_seq, rng):
     }
 
 
-def bench_ours_vcr(grid=(18, 32), lang_seq=144):
+def bench_ours_vcr(grid=(18, 32), lang_seq=144, scan_layers=False):
     import jax
     import jax.numpy as jnp
 
@@ -110,7 +110,7 @@ def bench_ours_vcr(grid=(18, 32), lang_seq=144):
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = mr.load_config("base", output_grid=grid, use_bfloat16=on_tpu,
-                         scan_layers=False)
+                         scan_layers=scan_layers)
     cfg = cfg.replace_data(lang_seq_len=lang_seq)
     model = MerlotReserveVCR.from_config(cfg)
 
@@ -260,7 +260,204 @@ def bench_reference_vcr(grid=(18, 32), lang_seq=144):
     return _time_chained(multi(1), multi(N_CHAIN), state, batch)
 
 
-def bench_ours_tvqa(num_segments=7, lang_seq=256, grid=(12, 20)):
+def _tvqa_batch_np(bsz, num_segments, lang_seq, grid, rng):
+    from merlot_reserve_tpu.tokenizer import AUDIOSPAN, MASK
+
+    hw = grid[0] * grid[1]
+    text = rng.randint(10, 30000, (bsz, 5, lang_seq)).astype(np.int32)
+    text[:, :, 24] = MASK
+    seg_ids = np.minimum(np.arange(lang_seq) // (lang_seq // (num_segments + 1)),
+                         num_segments).astype(np.int32)
+    textonly = np.stack([text, np.broadcast_to(seg_ids, text.shape)], -1)
+    audio = text.copy()
+    audio[:, :, 32:32 + 18 * num_segments // 2] = AUDIOSPAN
+    audio_seqs = np.stack([audio, np.broadcast_to(seg_ids, audio.shape)], -1)
+    return {
+        "images": rng.randn(bsz, num_segments, hw, 768).astype(np.float32),
+        "audio_clips": rng.randn(bsz, num_segments, 3, 60, 65).astype(np.float32),
+        "textonly_seqs": textonly.astype(np.int32),
+        "audio_seqs": audio_seqs.astype(np.int32),
+        "labels": rng.randint(0, 5, (bsz,)).astype(np.int32),
+    }
+
+
+def bench_reference_tvqa(num_segments=7, lang_seq=256, grid=(12, 20)):
+    import jax
+
+    _shim_legacy_jax()
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import yaml
+
+    sys.path.insert(1, "/root/reference")
+    if "tensorflow_datasets" not in sys.modules:
+        sys.modules["tensorflow_datasets"] = types.ModuleType("tensorflow_datasets")
+
+    import finetune.optimization as ref_fopt
+    import mreserve.modeling as ref_modeling
+    from mreserve.checkpoint import bf16_to_f32, f32_to_bf16
+
+    from merlot_reserve_tpu.tokenizer import AUDIOSPAN, MASK
+
+    # reconstruction of tvqa_finetune.py:155-264 (script not importable:
+    # module-level argparse + dataset IO); every op mirrors those lines
+    class RefTVQA(ref_modeling.MerlotReserve):
+        def setup(self):
+            super().setup()
+            self.proj = nn.Dense(features=1, dtype=self.dtype,
+                                 kernel_init=jax.nn.initializers.normal(stddev=0.02),
+                                 name="proj", use_bias=False)
+
+        def __call__(self, batch):
+            batch_size, images_per_batch, seq_size, img_dim = batch["images"].shape
+            imgs_enc = self.vision_encoder(batch["images"].reshape(
+                batch_size * images_per_batch, seq_size, img_dim))["seq_attnpool"]
+            imgs_enc = imgs_enc.reshape(batch_size, images_per_batch,
+                                        seq_size // 4, self.hidden_size)
+            imgs_enc = jnp.concatenate([
+                jnp.zeros([batch_size, 1, seq_size // 4, self.hidden_size],
+                          dtype=imgs_enc.dtype), imgs_enc], 1)
+            images_per_batch += 1
+            batch_size, num_ans_per, joint_seq_len, two_ = batch["textonly_seqs"].shape
+            imgs_enc = imgs_enc.reshape(
+                batch_size, images_per_batch * seq_size // 4,
+                self.hidden_size).repeat(num_ans_per, axis=0)
+
+            text_toks = batch["textonly_seqs"][..., 0].reshape(
+                batch_size * num_ans_per, joint_seq_len)
+            textonly_inputs = self.prepare_multimodal_inputs(
+                tokens=text_toks,
+                token_segment_idx=batch["textonly_seqs"][..., 1].reshape(
+                    batch_size * num_ans_per, joint_seq_len),
+                vision_input=imgs_enc,
+            )
+
+            bsz, n_seg, n_sub, audio_seq_len, num_mels = batch["audio_clips"].shape
+            audio_enc = self.audio_encoder(batch["audio_clips"].reshape(
+                -1, audio_seq_len, num_mels))["seq_attnpool"]
+            _, audio_token_len, hidden_size = audio_enc.shape
+            num_audio_spans = n_seg * n_sub
+            audio_enc = audio_enc.reshape(bsz, num_audio_spans, audio_token_len,
+                                          hidden_size).repeat(num_ans_per, axis=0)
+
+            audio_toks = batch["audio_seqs"][..., 0].reshape(
+                batch_size * num_ans_per, joint_seq_len)
+            audio_pointers = (jnp.cumsum(
+                (audio_toks == AUDIOSPAN).astype(jnp.int32), -1) - 1) // audio_token_len
+            audio_pointers = audio_pointers % num_audio_spans
+            audio_inputs = self.prepare_multimodal_inputs(
+                tokens=audio_toks,
+                token_segment_idx=batch["audio_seqs"][..., 1].reshape(
+                    batch_size * num_ans_per, joint_seq_len),
+                vision_input=imgs_enc,
+                audio_spans=audio_enc,
+                audio_pointers=audio_pointers,
+            )
+            start_imgs = joint_seq_len + seq_size // 4
+            for k in ["x", "rotary_coords", "attention_mask"]:
+                textonly_inputs[k] = jnp.concatenate(
+                    [textonly_inputs[k][:, :joint_seq_len],
+                     textonly_inputs[k][:, start_imgs:]], 1)
+                audio_inputs[k] = jnp.concatenate(
+                    [audio_inputs[k][:, :joint_seq_len],
+                     audio_inputs[k][:, start_imgs:]], 1)
+            textonly_inputs["attention_mask"] = jnp.concatenate(
+                [textonly_inputs["attention_mask"][:, :, :joint_seq_len],
+                 textonly_inputs["attention_mask"][:, :, start_imgs:]], 2)
+            audio_inputs["attention_mask"] = jnp.concatenate(
+                [audio_inputs["attention_mask"][:, :, :joint_seq_len],
+                 audio_inputs["attention_mask"][:, :, start_imgs:]], 2)
+
+            x = jnp.concatenate([audio_inputs["x"], textonly_inputs["x"]], 0)
+            coords = jnp.concatenate([audio_inputs["rotary_coords"],
+                                      textonly_inputs["rotary_coords"]], 0)
+            attnmask = jnp.concatenate([audio_inputs["attention_mask"],
+                                        textonly_inputs["attention_mask"]], 0)
+            joint_enc = self.joint_transformer(
+                x, rotary_coords=coords, attention_mask=attnmask)["seq"]
+            joint_enc = joint_enc[:, :joint_seq_len].reshape(
+                batch_size * 2 * num_ans_per, joint_seq_len, self.hidden_size)
+            pool_idx = jnp.argmax((jnp.concatenate([audio_toks, text_toks], 0)
+                                   == MASK).astype(jnp.float32), 1)
+            pooled_h = joint_enc[jnp.arange(batch_size * 2 * num_ans_per), pool_idx]
+            joint_enc = jnp.squeeze(self.proj(pooled_h), -1)
+            logits_from_audio, logits_from_text = jnp.split(joint_enc, 2, axis=0)
+            return (logits_from_audio.reshape(batch_size, num_ans_per),
+                    logits_from_text.reshape(batch_size, num_ans_per))
+
+    with open("/root/reference/pretrain/configs/base.yaml") as f:
+        config = yaml.safe_load(f)
+    config["model"]["output_grid"] = list(grid)
+    config["data"]["lang_seq_len"] = lang_seq
+    config["data"]["num_segments"] = num_segments
+    config["model"]["use_bfloat16"] = jax.default_backend() == "tpu"
+    model = RefTVQA.from_config(config)
+
+    rng = np.random.RandomState(0)
+    batch_np = _tvqa_batch_np(TVQA_BATCH, num_segments, lang_seq, grid, rng)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.PRNGKey(0),
+                            {k: jnp.asarray(v) for k, v in batch_np.items()})[
+            "params"]
+    params = dict(params)
+    for k in ["head", "span_encoder"]:
+        params.pop(k, None)
+
+    opt_cfg = dict(config["optimizer"])
+    opt_cfg.setdefault("learning_rate", 5e-6)
+    opt_cfg.setdefault("num_train_steps", 11449)
+    opt_cfg.setdefault("num_warmup_steps", 572)
+    state = ref_fopt.construct_finetuning_train_state(
+        opt_cfg, model, params, only_state=True)
+
+    def train_loss_fn(state, params, batch):
+        # tvqa_finetune.py:277-294
+        logits_from_audio, logits_from_text = state.apply_fn(
+            {"params": params}, batch)
+        lp_audio = jax.nn.log_softmax(logits_from_audio, axis=-1)
+        lp_text = jax.nn.log_softmax(logits_from_text, axis=-1)
+        labels_oh = jax.nn.one_hot(batch["labels"], dtype=lp_audio.dtype,
+                                   num_classes=lp_audio.shape[-1])
+        loss = (-jnp.mean(jnp.sum(labels_oh * lp_audio, axis=-1))
+                - jnp.mean(jnp.sum(labels_oh * lp_text, axis=-1)))
+        return loss, {"loss": loss}
+
+    def step(state, batch):
+        def _loss_fn(p):
+            return train_loss_fn(state, p, batch)
+
+        params = f32_to_bf16(state.params)
+        (loss, loss_info), grads = jax.value_and_grad(
+            _loss_fn, has_aux=True)(params)
+        grads = jax.tree.map(lambda x: jnp.nan_to_num(x, copy=False), grads)
+        grads = jax.lax.pmean(grads, axis_name="batch")
+        grads = bf16_to_f32(grads)
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, jax.lax.pmean(loss_info, axis_name="batch")
+
+    devices = jax.devices()[:1]
+
+    def multi(n):
+        def chained(state, batch):
+            def body(s, _):
+                return step(s, batch)
+
+            state, infos = jax.lax.scan(body, state, None, length=n)
+            return state, jax.tree.map(lambda x: x[-1], infos)
+
+        return jax.pmap(chained, axis_name="batch", donate_argnums=(0,),
+                        devices=devices)
+
+    from flax import jax_utils
+
+    state = jax_utils.replicate(state, devices)
+    batch = {k: jnp.asarray(v)[None] for k, v in batch_np.items()}
+    return _time_chained(multi(1), multi(N_CHAIN), state, batch)
+
+
+def bench_ours_tvqa(num_segments=7, lang_seq=256, grid=(12, 20),
+                    scan_layers=False):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -271,32 +468,15 @@ def bench_ours_tvqa(num_segments=7, lang_seq=256, grid=(12, 20)):
     from merlot_reserve_tpu.parallel import make_mesh
     from merlot_reserve_tpu.parallel.sharding import batch_sharding, state_shardings
     from merlot_reserve_tpu.training.optimization import construct_finetuning_train_state
-    from merlot_reserve_tpu.tokenizer import AUDIOSPAN, MASK
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = mr.load_config("base", output_grid=grid, use_bfloat16=on_tpu,
-                         scan_layers=False)
+                         scan_layers=scan_layers)
     cfg = cfg.replace_data(lang_seq_len=lang_seq, num_segments=num_segments)
     model = MerlotReserveTVQA.from_config(cfg)
 
     rng = np.random.RandomState(0)
-    bsz = TVQA_BATCH
-    hw = grid[0] * grid[1]
-    text = rng.randint(10, 30000, (bsz, 5, lang_seq)).astype(np.int32)
-    text[:, :, 24] = MASK
-    seg_ids = np.minimum(np.arange(lang_seq) // (lang_seq // (num_segments + 1)),
-                         num_segments).astype(np.int32)
-    textonly = np.stack([text, np.broadcast_to(seg_ids, text.shape)], -1)
-    audio = text.copy()
-    audio[:, :, 32:32 + 18 * num_segments // 2] = AUDIOSPAN
-    audio_seqs = np.stack([audio, np.broadcast_to(seg_ids, audio.shape)], -1)
-    batch_np = {
-        "images": rng.randn(bsz, num_segments, hw, 768).astype(np.float32),
-        "audio_clips": rng.randn(bsz, num_segments, 3, 60, 65).astype(np.float32),
-        "textonly_seqs": textonly.astype(np.int32),
-        "audio_seqs": audio_seqs.astype(np.int32),
-        "labels": rng.randint(0, 5, (bsz,)).astype(np.int32),
-    }
+    batch_np = _tvqa_batch_np(TVQA_BATCH, num_segments, lang_seq, grid, rng)
     params = model.init_params(batch_np)
     params = adapt_pretrained_params(dict(params), cfg.model.hidden_size)
     state = construct_finetuning_train_state(cfg.optimizer, model, params)
@@ -332,12 +512,27 @@ def main():
                                      "/root/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    tasks = sys.argv[1:] or ["vcr", "vcr_ref", "tvqa"]
+    tasks = sys.argv[1:] or ["vcr", "vcr_ref", "tvqa", "tvqa_ref"]
     out = {}
+
+    def ours_with_fallback(fn):
+        # the dev relay rejects very large unrolled fwd+bwd HLO uploads
+        # (HTTP 413); fall back to the scan-layers graph (1 compiled layer
+        # body; ~25% slower steps at base scale, BASELINE.md)
+        try:
+            dt, loss = fn(scan_layers=False)
+            return dt, loss, "ours"
+        except Exception as e:  # noqa: BLE001
+            print(f"# unrolled graph rejected ({type(e).__name__}); "
+                  f"falling back to scan_layers=True", file=sys.stderr)
+            dt, loss = fn(scan_layers=True)
+            return dt, loss, "ours(scan_layers)"
+
     for task in tasks:
+      try:
         if task == "vcr":
-            dt, loss = bench_ours_vcr()
-            rec = {"metric": "vcr_finetune_step", "impl": "ours",
+            dt, loss, impl = ours_with_fallback(bench_ours_vcr)
+            rec = {"metric": "vcr_finetune_step", "impl": impl,
                    "step_ms": round(dt * 1e3, 1),
                    "examples_per_sec_per_chip": round(VCR_BATCH / dt, 2),
                    "per_chip_batch": VCR_BATCH, "loss_probe": loss}
@@ -348,8 +543,14 @@ def main():
                    "examples_per_sec_per_chip": round(VCR_BATCH / dt, 2),
                    "per_chip_batch": VCR_BATCH, "loss_probe": loss}
         elif task == "tvqa":
-            dt, loss = bench_ours_tvqa()
-            rec = {"metric": "tvqa_finetune_step", "impl": "ours",
+            dt, loss, impl = ours_with_fallback(bench_ours_tvqa)
+            rec = {"metric": "tvqa_finetune_step", "impl": impl,
+                   "step_ms": round(dt * 1e3, 1),
+                   "examples_per_sec_per_chip": round(TVQA_BATCH / dt, 2),
+                   "per_chip_batch": TVQA_BATCH, "loss_probe": loss}
+        elif task == "tvqa_ref":
+            dt, loss = bench_reference_tvqa()
+            rec = {"metric": "tvqa_finetune_step", "impl": "reference",
                    "step_ms": round(dt * 1e3, 1),
                    "examples_per_sec_per_chip": round(TVQA_BATCH / dt, 2),
                    "per_chip_batch": TVQA_BATCH, "loss_probe": loss}
@@ -357,6 +558,11 @@ def main():
             raise SystemExit(f"unknown task {task}")
         print(json.dumps(rec), flush=True)
         out[task] = rec
+      except SystemExit:
+        raise
+      except Exception as e:  # noqa: BLE001  (keep the other tasks running)
+        print(f"# task {task} failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     return out
 
 
