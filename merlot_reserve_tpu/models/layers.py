@@ -275,7 +275,8 @@ class TransformerEncoder(nn.Module):
                 stacked, x, sinusoids=sinusoids, is_valid=is_valid,
                 segment_ids=segment_ids, attention_bias=attention_bias,
                 layer=layer_template, mesh=mesh, axis=self.pipeline_axis,
-                num_microbatches=self.pipeline_microbatches)
+                num_microbatches=self.pipeline_microbatches,
+                remat=self.remat)
         elif self.scan_layers:
             layer_cls = TransformerLayer
             if self.remat:

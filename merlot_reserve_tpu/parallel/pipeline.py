@@ -59,7 +59,7 @@ def _pvary(x, axis_name):
 def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
                          segment_ids=None, attention_bias=None, *,
                          layer, mesh: Mesh, axis: str = "pp",
-                         num_microbatches: int = 2):
+                         num_microbatches: int = 2, remat: bool = False):
     """Apply a stacked transformer layer pytree as a pipeline over ``axis``.
 
     :param stacked_params: pytree with every leaf ``[num_layers, ...]`` (the
@@ -109,6 +109,10 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
                                     bias)
                 return h2, None
 
+            if remat:
+                # rematerialize per layer: backward recomputes the layer
+                # instead of keeping T x L_local activations live
+                body = jax.checkpoint(body, prevent_cse=False)
             h, _ = lax.scan(body, h, params_local)
             return h
 

@@ -60,6 +60,30 @@ def test_pipeline_encoder_forward(encoder_setup, cpu_devices, pp, microbatches):
     assert float(jnp.abs(out - ref).max()) < 2e-5
 
 
+def test_pipeline_encoder_grads_remat(encoder_setup, cpu_devices):
+    """remat inside the pipeline recomputes layers in backward — grads must
+    be identical to the plain (non-pipelined, non-remat) encoder."""
+    kw, params, (x, coords, is_valid, seg), _ = encoder_setup
+    enc = TransformerEncoder(**kw)
+    enc_pp = TransformerEncoder(pipeline_axis="pp", pipeline_microbatches=2,
+                                remat=True, **kw)
+    mesh = make_mesh(dp=1, pp=2, devices=cpu_devices[:2])
+
+    def loss(module):
+        def _fn(p):
+            y = module.apply({"params": p}, x, rotary_coords=coords,
+                             is_valid=is_valid, segment_ids=seg)["seq"]
+            return (y ** 2).mean()
+        return _fn
+
+    g_ref = jax.grad(loss(enc))(params)
+    with activate_mesh(mesh):
+        g_pp = jax.jit(jax.grad(loss(enc_pp)))(params)
+    worst = max(jax.tree_util.tree_leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), g_ref, g_pp)))
+    assert worst < 2e-5, worst
+
+
 def test_pipeline_encoder_grads(encoder_setup, cpu_devices):
     kw, params, (x, coords, is_valid, seg), _ = encoder_setup
     enc = TransformerEncoder(**kw)
