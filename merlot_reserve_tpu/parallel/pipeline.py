@@ -22,7 +22,11 @@ Efficiency notes (correctness first, tiny-shape dryrun second):
     M >= 4*S for production;
   * the fill/drain ticks still execute predicated layer compute (standard
     GPipe); a zero-bubble schedule is a future upgrade, not a semantics
-    change.
+    change;
+  * inside the pipeline's shard_map, layer weights are replicated over tp
+    (in_specs shard the layer dim only) — pp composes with dp and sp;
+    combining pp with tp *within a stage* would need tp specs on the
+    per-leaf weight dims as well.
 """
 
 from __future__ import annotations

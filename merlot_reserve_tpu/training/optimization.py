@@ -136,15 +136,26 @@ def lr_scale_linearwarmup_lineardecay(num_warmup_steps, num_train_steps):
     return schedule
 
 
-def subtract_old_weights(pretrained_params, weight_decay: float, mask_fn=None):
+class SubtractOldWeightsState(NamedTuple):
+    """bf16 anchor (the pretrained init) the decay pulls toward."""
+
+    orig_params: Any
+
+
+def subtract_old_weights(weight_decay: float, mask_fn=None):
     """Weight decay *toward the pretrained init* rather than zero — the
-    finetuning regularizer from finetune/optimization.py:15-34. Stores the
-    anchor in bf16."""
-    anchor = jax.tree.map(lambda x: x.astype(jnp.bfloat16), pretrained_params)
+    finetuning regularizer from finetune/optimization.py:15-34.
+
+    The anchor lives in the OPTIMIZER STATE (bf16), exactly like the
+    reference's ``SubtractOldState`` — NOT in a Python closure: a closed-over
+    param tree becomes ~2 bytes/param of embedded HLO constants in every
+    compiled train step (hundreds of MB at base scale), which bloats
+    executables and overflows compile-request limits. As state it is a
+    runtime argument: donated, sharded by the ZeRO-1 specs, checkpointed."""
 
     def init_fn(params):
-        del params
-        return optax.EmptyState()
+        return SubtractOldWeightsState(
+            orig_params=jax.tree.map(lambda x: x.astype(jnp.bfloat16), params))
 
     def update_fn(updates, state, params=None):
         assert params is not None
@@ -158,7 +169,7 @@ def subtract_old_weights(pretrained_params, weight_decay: float, mask_fn=None):
             mask = mask_fn(params)
         else:
             mask = jax.tree.map(lambda x: True, params)
-        updates = jax.tree.map(_upd, updates, params, anchor, mask)
+        updates = jax.tree.map(_upd, updates, params, state.orig_params, mask)
         return updates, state
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -209,7 +220,7 @@ def construct_finetuning_train_state(opt_config, model, params):
 
     chainables = [
         opt,
-        subtract_old_weights(params, opt_config.weight_decay_rate, mask_fn=_mask),
+        subtract_old_weights(opt_config.weight_decay_rate, mask_fn=_mask),
         optax.scale_by_schedule(lr_scale_linearwarmup_lineardecay(
             num_warmup_steps=opt_config.num_warmup_steps,
             num_train_steps=opt_config.num_train_steps)),

@@ -139,3 +139,45 @@ def encode_flops(cfg, n_videos: int, n_segments: int,
         flops += n_seg_total * (2 * 2 * n_frames * n_fft * n_bins
                                 + 2 * n_frames * n_bins * 64)
     return flops
+
+
+def pretrain_step_flops(cfg, batch_size: int) -> float:
+    """Analytic matmul FLOPs of one full pretraining train step
+    (pretrain_model.py:38-258 workload): vision tower over every segment,
+    audio tower over every subsegment, span tower over the text-span
+    targets, the fused 4-stream joint call, x3 for forward+backward."""
+    m, d = cfg.model, cfg.data
+    h = float(m.hidden_size)
+    B = batch_size
+    f = 0.0
+
+    # vision tower over B * num_segments frames (+ patch embed + attnpool)
+    n_seg = B * d.num_segments
+    s_vit = m.vit_seq_len + 1
+    f += n_seg * m.vit_num_layers * transformer_layer_flops(s_vit, h)
+    f += n_seg * 2 * m.vit_seq_len * (16 * 16 * 3) * h
+    f += n_seg * (4 * m.vit_seq_len * h * h
+                  + 4 * m.vit_seq_len * (m.vit_seq_len / 4) * h)
+
+    # audio tower over every subsegment
+    s_aud = m.audio_seq_length // m.audio_patch_size + 1
+    n_sub = n_seg * d.num_audio_subsegments
+    f += n_sub * m.audio_num_layers * transformer_layer_flops(s_aud, h)
+    f += n_sub * 2 * (s_aud - 1) * (m.audio_patch_size * 65) * h
+    f += n_sub * (4 * (s_aud - 1) * h * h
+                  + 4 * (s_aud - 1) * m.audio_token_length * h)
+
+    # span tower over the text-span targets (+CLS)
+    n_spans = B * d.num_text_spans_to_include
+    f += n_spans * m.span_num_layers * transformer_layer_flops(
+        m.text_span_length + 1, h)
+
+    # the ONE fused joint call: per example, num_segment_groups rows each for
+    # audio2text/text2audio (x their seq multipliers) + matching + random_text
+    rows = B * (d.num_segment_groups * (d.num_audio2text_seqs
+                                        + d.num_text2audio_seqs)
+                + 1 + d.num_text_seqs)
+    f += rows * m.joint_num_layers * transformer_layer_flops(d.seq_len, h)
+    f += rows * 2 * d.seq_len * h * h  # joint_proj
+
+    return 3.0 * f  # backward ~= 2x forward for matmul-dominated graphs

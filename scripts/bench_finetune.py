@@ -35,8 +35,8 @@ sys.path.insert(0, REPO)
 
 import numpy as np
 
-VCR_BATCH = 4   # per-chip slice of the recipe's bs 32 on a v3-8
-TVQA_BATCH = 4
+VCR_BATCH = int(os.environ.get("VCR_BATCH", "4"))   # per-chip slice of bs 32 on a v3-8
+TVQA_BATCH = int(os.environ.get("TVQA_BATCH", "4"))
 N_CHAIN = int(os.environ.get("BENCH_CHAIN", "8"))
 
 

@@ -92,11 +92,16 @@ def main():
               file=sys.stderr)
         step_s = (tN - t1) / (n_chain - 1)
         segs = bsz * cfg.data.num_segments / step_s
+        peak = device_peak_flops()
+        from merlot_reserve_tpu.utils.profiling import pretrain_step_flops
+
+        mfu = (pretrain_step_flops(cfg, bsz) / step_s / peak) if peak else None
         print(json.dumps({
             "metric": "train_segments_per_sec_per_chip",
             "value": round(segs, 1), "unit": "segments/s/chip",
             "per_chip_batch": bsz, "step_ms": round(step_s * 1e3, 1),
             "remat": remat, "scan_layers": not unroll,
+            "mfu": round(mfu, 4) if mfu else None,
             "loss_probe": loss, "chain": n_chain,
         }), flush=True)
         del state
