@@ -69,6 +69,10 @@ class ModelConfig:
     # Param layout: stacked [L, ...] under 'layers'; checkpoint IO converts
     # to/from the reference's per-layer naming.
     scan_layers: bool = True
+    # layer bodies per scan iteration (1 = pure scan; num_layers ~ unrolled).
+    # Higher recovers XLA's cross-layer backward fusion at the cost of
+    # HLO size / compile time. Checkpoint layout unaffected.
+    scan_unroll: int = 1
     # Parallelism knobs for the JOINT transformer (the deep/long tower; the
     # reference is pure-DP, SURVEY.md §2.13). Both need an active mesh
     # (parallel.mesh.activate_mesh — make_jit_train_step does this).

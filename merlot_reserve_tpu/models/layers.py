@@ -174,6 +174,12 @@ class TransformerEncoder(nn.Module):
     # inserts the K/V collectives. Explicit ring attention lives in
     # ops/ring_attention.py for long-context use.
     seq_shard_axis: Optional[str] = None
+    # partially unroll the layer scan: N layer bodies per loop iteration.
+    # Middle ground between scan (1 compiled body, blocks XLA's cross-layer
+    # backward fusion, ~27% slower training at base scale — BASELINE.md) and
+    # full unroll (fastest, but num_layers x the HLO). Param layout stays
+    # stacked — checkpoint compatible either way.
+    scan_unroll: int = 1
     # pipeline parallelism: shard the stacked layer dim over this mesh axis
     # and stream microbatches through the stages (parallel/pipeline.py).
     # Requires scan_layers=True (stacked param layout) and an active mesh.
@@ -288,6 +294,7 @@ class TransformerEncoder(nn.Module):
                 length=self.num_layers,
                 in_axes=nn.broadcast,
                 out_axes=0,
+                unroll=self.scan_unroll,
             )
             x, _ = scan_cls(scan_format=True, name="layers", **layer_kwargs)(
                 x, sinusoids, is_valid, segment_ids, attention_bias)

@@ -58,6 +58,7 @@ class MerlotReserve(nn.Module):
             attention_impl=cfg.attention_impl,
             rotary_sign_quirk=cfg.rotary_sign_quirk,
             scan_layers=cfg.scan_layers,
+            scan_unroll=cfg.scan_unroll,
         )
         self.vision_encoder = VisionTransformer(
             num_layers=cfg.vit_num_layers,

@@ -34,6 +34,7 @@ class VisionTransformer(nn.Module):
     attention_impl: str = "auto"
     rotary_sign_quirk: bool = True
     scan_layers: bool = False
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -54,6 +55,7 @@ class VisionTransformer(nn.Module):
             attention_impl=self.attention_impl,
             rotary_sign_quirk=self.rotary_sign_quirk,
             scan_layers=self.scan_layers,
+            scan_unroll=self.scan_unroll,
             name="transformer")(x, rotary_coords=coords)
 
         # pooling_ratio x pooling_ratio window attention-pool with mean query
@@ -91,6 +93,7 @@ class AudioTransformer(nn.Module):
     attention_impl: str = "auto"
     rotary_sign_quirk: bool = True
     scan_layers: bool = False
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -113,6 +116,7 @@ class AudioTransformer(nn.Module):
             attention_impl=self.attention_impl,
             rotary_sign_quirk=self.rotary_sign_quirk,
             scan_layers=self.scan_layers,
+            scan_unroll=self.scan_unroll,
             name="transformer")(x, rotary_coords=coords)
 
         assert seq_len % self.pooling_ratio == 0
@@ -139,6 +143,7 @@ class SpanTransformer(nn.Module):
     attention_impl: str = "auto"
     rotary_sign_quirk: bool = True
     scan_layers: bool = False
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x, x_isvalid):
@@ -154,6 +159,7 @@ class SpanTransformer(nn.Module):
             attention_impl=self.attention_impl,
             rotary_sign_quirk=self.rotary_sign_quirk,
             scan_layers=self.scan_layers,
+            scan_unroll=self.scan_unroll,
             name="transformer")(x, is_valid=x_isvalid, rotary_coords=coords)
         return t_out["cls"]
 

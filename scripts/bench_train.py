@@ -21,6 +21,10 @@ def main():
     args = [a for a in sys.argv[1:]]
     remat = "--remat" in args
     unroll = "--unroll" in args
+    scan_unroll = 1
+    for a in args:
+        if a.startswith("--scan_unroll="):
+            scan_unroll = int(a.split("=")[1])
     batch_sizes = [int(a) for a in args if not a.startswith("--")] or [1, 2]
     n_chain = int(os.environ.get("BENCH_CHAIN", "8"))
 
@@ -38,7 +42,7 @@ def main():
     from merlot_reserve_tpu.utils.profiling import device_peak_flops
 
     cfg = mr.load_config("base", gradient_checkpoint=remat,
-                         scan_layers=not unroll)
+                         scan_layers=not unroll, scan_unroll=scan_unroll)
     n_spans = cfg.data.num_text_spans_to_include
 
     pre = MerlotReservePretrainer.from_config(cfg)
@@ -101,6 +105,7 @@ def main():
             "value": round(segs, 1), "unit": "segments/s/chip",
             "per_chip_batch": bsz, "step_ms": round(step_s * 1e3, 1),
             "remat": remat, "scan_layers": not unroll,
+            "scan_unroll": scan_unroll,
             "mfu": round(mfu, 4) if mfu else None,
             "loss_probe": loss, "chain": n_chain,
         }), flush=True)

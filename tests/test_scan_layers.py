@@ -9,10 +9,10 @@ from merlot_reserve_tpu.models.layers import TransformerEncoder
 from merlot_reserve_tpu.utils.checkpoint import stack_layer_params, unstack_layer_params
 
 
-def _setup(scan):
+def _setup(scan, unroll=1):
     return TransformerEncoder(hidden_size=64, num_layers=3, size_per_head=32,
                               add_cls_token=True, attention_impl="xla",
-                              scan_layers=scan)
+                              scan_layers=scan, scan_unroll=unroll)
 
 
 def test_scan_matches_unrolled():
@@ -34,6 +34,24 @@ def test_scan_matches_unrolled():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_s["cls"]), np.asarray(out_u["cls"]),
                                atol=1e-5)
+
+
+def test_scan_unroll_matches_scan():
+    """Partial unrolling (scan_unroll=3 over 3 layers) is a compile-time
+    schedule knob: same stacked param layout, identical numerics."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 9, 64).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1, 1, (2, 9, 1)).astype(np.float32))
+
+    scanned = _setup(scan=True)
+    unrolled3 = _setup(scan=True, unroll=3)
+    params = scanned.init(jax.random.PRNGKey(0), x, rotary_coords=coords)
+    out1 = scanned.apply(params, x, rotary_coords=coords)
+    out3 = unrolled3.apply(params, x, rotary_coords=coords)
+    np.testing.assert_allclose(np.asarray(out1["seq"]), np.asarray(out3["seq"]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1["cls"]), np.asarray(out3["cls"]),
+                               atol=1e-6)
 
 
 def test_stack_unstack_roundtrip():
