@@ -84,6 +84,7 @@ def run_pretraining(
     step_fn, state = make_jit_train_step(mesh, state, zero1=zero1)
 
     metrics_q = MetricsQueue(delay=log_every)
+    async_ckpt = ckpt_lib.AsyncCheckpointer()
     start_step = int(jax.device_get(state.step))
     t_block = time.time()
 
@@ -99,7 +100,7 @@ def run_pretraining(
                 log_fn(*ready)
 
         if output_dir and (step + 1) % save_every == 0:
-            ckpt_lib.save_checkpoint(state, output_dir)
+            async_ckpt.save(state, output_dir)
             # contrastive temperature health print (train.py:134-139)
             scales = np.asarray(jax.device_get(
                 state.params["contrastive_scales"]), np.float32)
@@ -125,6 +126,7 @@ def run_pretraining(
             if log_fn is not None:
                 log_fn(*ready)
     tracker.finish()
+    async_ckpt.wait()
     if output_dir:
         ckpt_lib.save_checkpoint(state, output_dir)
     return state

@@ -68,6 +68,45 @@ def save_checkpoint(state, path: str, keep: Optional[int] = None, overwrite: boo
                                        keep=keep, overwrite=overwrite)
 
 
+class AsyncCheckpointer:
+    """Checkpoint writes off the training critical path.
+
+    ``save`` issues ``copy_to_host_async`` on every leaf so all
+    device->host transfers run concurrently, materializes the host tree
+    (donation-safe: the train loop donates the state buffers into the next
+    step, so the fetch must complete before ``save`` returns), then hands
+    compression + msgpack serialization + file IO — the slow part — to a
+    background thread. The reference blocks training for the whole
+    ``device_get`` + GCS write every 7500 steps (train.py:131-132).
+
+    One save may be in flight at a time (a second ``save`` joins the first —
+    checkpoint ordering is preserved). Call ``wait()`` before exiting."""
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._thread: Optional[Any] = None
+
+    def save(self, state, path: str, **kw):
+        self.wait()
+        for leaf in jax.tree_util.tree_leaves(state):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        state_host = jax.device_get(state)
+
+        def _write():
+            save_checkpoint(state_host, path, **kw)
+
+        self._thread = self._threading.Thread(target=_write, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 def load_checkpoint(path: str, state: Any = None, step: Optional[int] = None,
                     use_bfloat16_weights: bool = False):
     """Load a checkpoint written by this module or by the reference release

@@ -64,3 +64,36 @@ def test_checkpoint_save_load_roundtrip(tmp_path):
                                   np.asarray(params["w"]))
     # f16 compression round trip preserves f32 dtype on load
     assert restored.params["w"].dtype == np.float32
+
+
+def test_async_checkpointer_matches_sync(tmp_path):
+    """Async save (background serialization) must produce the same loadable
+    checkpoint, and be donation-safe: mutating the live state after save()
+    returns must not corrupt the written snapshot."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax.training import train_state
+
+    from merlot_reserve_tpu.utils.checkpoint import (
+        AsyncCheckpointer,
+        load_checkpoint,
+    )
+
+    params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    state = train_state.TrainState.create(
+        apply_fn=lambda *a: None, params=params, tx=optax.sgd(0.1))
+    out = str(tmp_path / "ck_async")
+    os.makedirs(out)
+
+    ck = AsyncCheckpointer()
+    ck.save(state, out)
+    # simulate the train loop donating/overwriting the state immediately
+    state = state.replace(params={"w": jnp.zeros((2, 3), jnp.float32)})
+    jax.block_until_ready(state.params["w"])
+    ck.wait()
+
+    restored = load_checkpoint(out)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]),
+        np.arange(6, dtype=np.float32).reshape(2, 3))
