@@ -1,0 +1,101 @@
+"""Analytic HBM planning for training layouts.
+
+Three compiles OOM'd on a 16G v5e while benchmarking round 2 (base batch-2
+scan: 16.3G, base batch-4: 31.9G, large batch-1 remat: 18.3G — BASELINE.md);
+this module predicts that before a compile is ever attempted, so operators
+can size batch / remat / ZeRO / mesh axes analytically.
+
+The model is deliberately coarse (fusion, layout padding, and XLA temp
+buffers move real numbers ±20-30%) but reproduces the measured points'
+ordering and magnitude. All terms in bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+
+def param_count(cfg) -> int:
+    """Approximate trainable parameter count from the config shapes."""
+    m = cfg.model
+    h = m.hidden_size
+
+    def layer(n):  # qkv + attn_proj + 2 LN + mlp(4x)
+        return n * (4 * h * h + 8 * h * h + 8 * h)
+
+    p = 0
+    p += m.vocab_size * h                                # token embedding
+    p += layer(m.joint_num_layers)
+    p += layer(m.vit_num_layers) + (16 * 16 * 3) * h     # patch embed
+    p += layer(m.audio_num_layers) + (m.audio_patch_size * 65) * h
+    p += layer(m.span_num_layers)
+    p += 3 * (h * h)                                     # attnpools / heads (coarse)
+    p += h * h                                           # joint_proj
+    return int(p)
+
+
+def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
+                       zero1_dp: int = 1) -> Dict[str, float]:
+    """Per-chip HBM estimate (bytes) for one pretraining step.
+
+    :param zero1_dp: dp size the Adam moments are ZeRO-1-sharded over.
+    :return: breakdown dict incl. 'total'. Compare against ~15.75e9 usable
+        on a v5e (16G minus runtime reserves).
+    """
+    m, d = cfg.model, cfg.data
+    h = m.hidden_size
+    P = param_count(cfg)
+
+    # persistent train state: f32 params + bf16 Adam mu/nu (cube-root nu is
+    # still 2 bytes). Moments shard over dp under ZeRO-1.
+    state = 4 * P + (2 * P + 2 * P) / max(zero1_dp, 1)
+
+    # step transients: bf16 param cast, bf16 grads, f32 grad upcast
+    step_transients = 2 * P + 2 * P + 4 * P
+
+    # activations saved for backward (bf16). Per transformer layer the
+    # backward needs ~6 seq-major tensors (x, ln(x), qkv, attn out, mlp
+    # hidden 4x counts as 4) ~= 10 * S * H, plus the materialized attention
+    # probabilities rows * heads * S * S on the XLA path.
+    heads = h // m.size_per_head
+
+    def tower_act(rows, seq, layers):
+        # ~10 seq-major bf16 tensors per layer + the materialized attention
+        # probabilities, which XLA keeps f32 on the softmax path
+        per_layer = 2 * (10 * rows * seq * h) + 4 * (rows * heads * seq * seq)
+        if remat:
+            # only layer inputs are kept; everything else recomputed
+            per_layer = 2 * (2 * rows * seq * h)
+        return per_layer * layers
+
+    B = batch_size
+    act = 0.0
+    act += tower_act(B * d.num_segments, m.vit_seq_len + 1, m.vit_num_layers)
+    act += tower_act(B * d.num_segments * d.num_audio_subsegments,
+                     m.audio_seq_length // m.audio_patch_size + 1,
+                     m.audio_num_layers)
+    act += tower_act(B * d.num_text_spans_to_include, m.text_span_length + 1,
+                     m.span_num_layers)
+    joint_rows = B * (d.num_segment_groups * (d.num_audio2text_seqs
+                                              + d.num_text2audio_seqs)
+                      + 1 + d.num_text_seqs)
+    act += tower_act(joint_rows, d.seq_len, m.joint_num_layers)
+
+    # XLA temporaries / fragmentation / stream-concat copies. Calibrated on
+    # five measured v5e points (BASELINE.md): base b1 scan fits, b2 scan
+    # 16.28G OOM, b4 31.9G OOM, b4 remat fits, large b1 remat 18.28G OOM —
+    # 1.35 classifies all five correctly; point estimates are ±25%.
+    overhead = 1.35
+    total = (state + step_transients + act) * overhead
+    return {
+        "params": float(P),
+        "state_bytes": float(state),
+        "step_transient_bytes": float(step_transients),
+        "activation_bytes": float(act),
+        "total": float(total),
+    }
+
+
+def fits_v5e(cfg, batch_size: int, remat: bool = False,
+             zero1_dp: int = 1, hbm_bytes: float = 15.75e9) -> bool:
+    return estimate_train_hbm(cfg, batch_size, remat, zero1_dp)["total"] <= hbm_bytes

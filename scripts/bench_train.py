@@ -22,9 +22,12 @@ def main():
     remat = "--remat" in args
     unroll = "--unroll" in args
     scan_unroll = 1
+    config_name = "base"
     for a in args:
         if a.startswith("--scan_unroll="):
             scan_unroll = int(a.split("=")[1])
+        if a.startswith("--config="):
+            config_name = a.split("=")[1]
     batch_sizes = [int(a) for a in args if not a.startswith("--")] or [1, 2]
     n_chain = int(os.environ.get("BENCH_CHAIN", "8"))
 
@@ -41,7 +44,7 @@ def main():
     from merlot_reserve_tpu.training.trainer import make_jit_train_step, train_step
     from merlot_reserve_tpu.utils.profiling import device_peak_flops
 
-    cfg = mr.load_config("base", gradient_checkpoint=remat,
+    cfg = mr.load_config(config_name, gradient_checkpoint=remat,
                          scan_layers=not unroll, scan_unroll=scan_unroll)
     n_spans = cfg.data.num_text_spans_to_include
 
@@ -104,6 +107,7 @@ def main():
             "metric": "train_segments_per_sec_per_chip",
             "value": round(segs, 1), "unit": "segments/s/chip",
             "per_chip_batch": bsz, "step_ms": round(step_s * 1e3, 1),
+            "config": config_name,
             "remat": remat, "scan_layers": not unroll,
             "scan_unroll": scan_unroll,
             "mfu": round(mfu, 4) if mfu else None,
