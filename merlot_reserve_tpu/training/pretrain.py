@@ -88,6 +88,26 @@ def run_pretraining(
     start_step = int(jax.device_get(state.step))
     t_block = time.time()
 
+    # Preemption handling (beyond the reference's crash-only design,
+    # SURVEY.md §5): TPU-VM preemptions deliver SIGTERM with a grace
+    # window — finish the in-flight step, checkpoint, and exit cleanly so
+    # the restart loses zero work instead of up to save_every steps.
+    import signal as _signal
+
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):
+        preempted["flag"] = True
+        print(f"signal {signum}: checkpointing and exiting after the "
+              f"current step", flush=True)
+
+    restore_handlers = []
+    try:
+        for _sig in (_signal.SIGTERM, _signal.SIGINT):
+            restore_handlers.append((_sig, _signal.signal(_sig, _on_term)))
+    except ValueError:
+        pass  # not the main thread (tests/embedded use); flag stays usable
+
     batch = first_batch
     for step in range(start_step, num_steps):
         batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -113,6 +133,9 @@ def run_pretraining(
                   f"({100 / dt:.2f} it/s)", flush=True)
             t_block = time.time()
 
+        if preempted["flag"]:
+            break
+
         if step + 1 < num_steps:
             try:
                 batch = next(batch_iter)
@@ -120,6 +143,8 @@ def run_pretraining(
                 print("input exhausted; stopping", flush=True)
                 break
 
+    for _sig, _old in restore_handlers:
+        _signal.signal(_sig, _old)
     for ready in metrics_q.drain():
         if ready is not None:
             tracker.log(*ready)

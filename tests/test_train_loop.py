@@ -54,6 +54,38 @@ def test_train_checkpoint_resume(cfg, tmp_path):
     assert int(jax.device_get(state2.step)) == 5
 
 
+def test_preemption_checkpoints_and_exits(cfg, tmp_path):
+    """SIGTERM mid-run: finish the in-flight step, write a checkpoint, and
+    return — a restart resumes from the preempted step with zero lost work."""
+    import os as _os
+    import signal
+
+    import jax
+
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.training.pretrain import run_pretraining
+
+    out = str(tmp_path / "ckpts_preempt")
+    _os.makedirs(out)
+    mesh = make_mesh(dp=1, tp=1, devices=jax.devices("cpu")[:1])
+
+    def batches():
+        for i in range(50):
+            if i == 2:  # "preemption notice" arrives while fetching batch 3
+                _os.kill(_os.getpid(), signal.SIGTERM)
+            yield make_dummy_batch(cfg, batch_size=2, seed=i, num_text_spans=16)
+
+    state = run_pretraining(cfg, batches(), num_steps=50, output_dir=out,
+                            mesh=mesh, log_every=1, save_every=1000)
+    stopped_at = int(jax.device_get(state.step))
+    assert stopped_at < 50, "SIGTERM should have stopped the run early"
+    assert any(f.startswith("ckpt_") for f in _os.listdir(out))
+
+    state2 = run_pretraining(cfg, _batches(cfg, 10), output_dir=out,
+                             num_steps=stopped_at + 2, mesh=mesh, log_every=1)
+    assert int(jax.device_get(state2.step)) == stopped_at + 2
+
+
 def test_loss_decreases_on_repeated_batch(cfg):
     """Overfitting sanity: repeating one batch must reduce the loss."""
     import dataclasses
