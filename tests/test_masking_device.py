@@ -1,0 +1,180 @@
+"""Device masking engine vs the host numpy engine.
+
+Every deterministic op in ops/masking_device.py must equal its
+data/masking.py counterpart exactly on identical inputs (the numpy engine is
+itself oracle-parity-tested against the reference's TF functions in
+test_masking_parity.py, so transitivity covers the reference). Stochastic
+ops are checked by invariants.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merlot_reserve_tpu.data import masking as host
+from merlot_reserve_tpu.ops import masking_device as dev
+from merlot_reserve_tpu.tokenizer import AUDIOSPAN, MASK, MASKAUDIO
+
+
+def _random_ragged(rng, n_rows=12, max_len=7):
+    lens = rng.integers(0, max_len, size=n_rows)
+    vals = rng.integers(10, 30000, size=int(lens.sum()))
+    return vals.astype(np.int64), lens.astype(np.int64)
+
+
+@pytest.mark.parametrize("rl", [True, False])
+def test_shift_matches_host(rl):
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        vals, lens = _random_ragged(rng)
+        marked = rng.random(len(lens)) < 0.4
+        r = host.Ragged(vals, lens.copy())
+        out_host = host.shift_ragged_tokens_at_positions(
+            r, np.where(marked)[0], right_to_left=rl).row_lengths
+        out_dev = dev.shift_row_lengths(jnp.asarray(lens), jnp.asarray(marked),
+                                        right_to_left=rl)
+        np.testing.assert_array_equal(np.asarray(out_dev), out_host)
+
+
+@pytest.mark.parametrize("rl", [True, False])
+def test_reassign_one_dir_matches_host(rl):
+    rng = np.random.default_rng(1)
+    for trial in range(10):
+        vals, lens = _random_ragged(rng)
+        masked = rng.random(len(lens)) < 0.4
+        r = host.Ragged(vals, lens.copy())
+        out_host = host._reassign_one_dir(
+            r, mask_idx=np.where(masked)[0], right_to_left=rl).row_lengths
+        out_dev = dev._reassign_one_dir(jnp.asarray(lens), jnp.asarray(masked), rl)
+        np.testing.assert_array_equal(np.asarray(out_dev), out_host)
+
+
+@pytest.mark.parametrize("rl", [True, False])
+def test_increase_one_dir_matches_host(rl):
+    rng = np.random.default_rng(2)
+    for trial in range(10):
+        n_rows = 10
+        lens = rng.integers(0, 5, size=n_rows).astype(np.int64)
+        L = int(lens.sum())
+        cent = np.sort(rng.uniform(0, 30, size=L))
+        vals = rng.integers(10, 30000, size=L).astype(np.int64)
+        masked = rng.random(n_rows) < 0.35
+        # audio windows roughly ordered in time
+        starts = np.sort(rng.uniform(0, 25, size=n_rows))
+        ase = np.stack([starts, starts + 3.0], -1)
+
+        r = host.Ragged(vals, lens.copy())
+        out_host = host._increase_one_dir(
+            r, mask_idx=np.where(masked)[0], tok_centroids_vals=cent,
+            audio_start_end=ase, delta_thresh=0.5, right_to_left=rl).row_lengths
+        out_dev = dev._increase_one_dir(
+            jnp.asarray(lens), jnp.asarray(masked), jnp.asarray(cent),
+            jnp.asarray(ase), 0.5, rl)
+        np.testing.assert_array_equal(np.asarray(out_dev), out_host,
+                                      err_msg=f"trial {trial} rl={rl}")
+
+
+def test_assign_tokens_to_audio_matches_host():
+    rng = np.random.default_rng(3)
+    tok = np.sort(rng.uniform(0, 20, size=40))
+    aud = np.sort(rng.uniform(0, 20, size=6))
+    np.testing.assert_array_equal(
+        np.asarray(dev.assign_tokens_to_audio(jnp.asarray(tok), jnp.asarray(aud))),
+        host.assign_tokens_to_audio(tok, aud))
+
+
+def test_place_audio_subsegments_invariants():
+    starts = np.asarray(dev.place_audio_subsegments(
+        jax.random.PRNGKey(0), spec_size=188, num_subsegments=3, seq_length=60))
+    assert starts.shape == (3,)
+    assert (starts >= 0).all() and starts[-1] + 60 <= 188
+    assert (np.diff(starts) >= 60).all()  # non-overlapping
+
+
+def test_mask_tokens_matches_host_unbudgeted():
+    """Without a budget, the device stream's valid prefix must equal the host
+    [L, 3] output rows exactly (tokens, audio_ptr, text_ptr)."""
+    rng_np = np.random.default_rng(4)
+    for do_audio_mask in (False, True):
+        vals, lens = _random_ragged(rng_np, n_rows=8, max_len=6)
+        masked = np.zeros(8, bool)
+        masked[[1, 4]] = True
+        do_span = np.zeros(8, bool)
+        do_span[[2, 6]] = True
+
+        r = host.Ragged(vals.copy(), lens.copy())
+        spans_h, streams_h = host.mask_tokens(
+            r, np.where(masked)[0], np.random.default_rng(0),
+            do_audio_span=do_span, audio_token_length=6,
+            text_span_start_counter=5, num_groups=1,
+            do_audio_mask=do_audio_mask)
+
+        spans_d, streams_d = dev.mask_tokens(
+            jax.random.PRNGKey(0), jnp.asarray(vals), jnp.asarray(lens),
+            jnp.asarray(masked), max_row=8, do_audio_span=jnp.asarray(do_span),
+            audio_token_length=6, text_span_start_counter=5,
+            do_audio_mask=do_audio_mask, num_groups=1)
+
+        t, v = streams_d[0]
+        t = np.asarray(t)[np.asarray(v)]
+        np.testing.assert_array_equal(t, streams_h[0])
+
+        # text spans: masked rows' contents
+        spans_d = np.asarray(spans_d)
+        for k, m in enumerate(np.where(masked)[0]):
+            row = spans_h.row(k)
+            got = spans_d[m][spans_d[m] >= 0]
+            np.testing.assert_array_equal(got, row)
+
+
+def test_select_tokens_truncation_matches_host():
+    """When both-end truncation alone reaches the budget, host and device
+    must pick exactly the same window (no sampling involved)."""
+    # 30 tokens: 10 plain, 3 MASK, 10 plain, rest plain tail
+    toks = np.zeros((30, 3), np.int32)
+    toks[:, 0] = np.arange(100, 130)
+    toks[12:15, 0] = MASK
+    toks[:, 1] = np.arange(30) // 5
+    toks[:, 2] = -1
+    budget = 6  # forces truncation close to the mask span
+    out_h = host.select_tokens(toks.copy(), budget, num_segments=6,
+                               rng=np.random.default_rng(0))
+    out_d, valid_d = dev.select_tokens(
+        jax.random.PRNGKey(0), jnp.asarray(toks),
+        jnp.ones(30, bool), budget, num_segments=6)
+    out_d = np.asarray(out_d)[np.asarray(valid_d)]
+    # both keep all 3 MASK tokens and hit the budget
+    assert (out_h[:, 0] == MASK).sum() == 3
+    assert (out_d[:, 0] == MASK).sum() == 3
+    assert len(out_d) == budget and len(out_h) == budget
+    # device output preserves original order
+    assert (np.diff(out_d[:, 0][out_d[:, 0] != MASK]) > 0).all()
+
+
+def test_select_tokens_under_budget_identity():
+    toks = np.zeros((10, 3), np.int32)
+    toks[:, 0] = np.arange(50, 60)
+    toks[3, 0] = MASK
+    out_d, valid_d = dev.select_tokens(
+        jax.random.PRNGKey(1), jnp.asarray(toks), jnp.ones(10, bool),
+        padded_seq_len=16, num_segments=4)
+    assert np.asarray(valid_d).sum() == 10
+    np.testing.assert_array_equal(np.asarray(out_d)[:10], toks)
+
+
+def test_mask_tokens_budgeted_invariants():
+    rng_np = np.random.default_rng(5)
+    vals, lens = _random_ragged(rng_np, n_rows=12, max_len=8)
+    masked = np.zeros(12, bool)
+    masked[[2, 7, 9]] = True
+    _, streams = dev.mask_tokens(
+        jax.random.PRNGKey(2), jnp.asarray(vals), jnp.asarray(lens),
+        jnp.asarray(masked), max_row=10, do_audio_mask=True,
+        padded_seq_len=20, num_groups=2)
+    for t, v in streams:
+        t, v = np.asarray(t), np.asarray(v)
+        assert t.shape == (20, 3)
+        # every group keeps its MASK/MASKAUDIO tokens under the budget
+        assert ((t[:, 0] == MASK) | (t[:, 0] == MASKAUDIO)).sum() >= 1
+        assert (~v[v.argmin():]).all() or v.all()  # valid prefix layout
