@@ -1,6 +1,7 @@
 """Compute-path primitives: rotary position machinery, attention (Pallas flash
-kernel + XLA fallback), on-device audio DSP (STFT->mel->log), and image
-patchify/resize kernels."""
+kernel + XLA fallback), on-device audio DSP (STFT->mel->log), image
+patchify/resize kernels, ring attention (ops.ring_attention), and the
+fixed-shape device masking engine (ops.masking_device)."""
 
 # NOTE: the generic entry point lives at ops.attention.attention — exporting
 # the function here would shadow the submodule of the same name.
