@@ -163,6 +163,43 @@ def test_select_tokens_under_budget_identity():
     np.testing.assert_array_equal(np.asarray(out_d)[:10], toks)
 
 
+def test_full_chain_vmaps_and_jits():
+    """The batched form the device loader uses: reassign -> widen -> mask ->
+    select, vmapped over examples inside one jit."""
+    import functools
+
+    B, N, L, MAX_ROW, SEQ = 4, 12, 48, 8, 24
+
+    def one(key, tokens, lens, masked, cent, ase):
+        k1, k2, k3 = jax.random.split(key, 3)
+        lens = dev.reassign_empty_tokens(lens, masked, k1)
+        lens = dev.increase_textmask(lens, masked, cent, ase, k2)
+        spans, streams = dev.mask_tokens(
+            k3, tokens, lens, masked, max_row=MAX_ROW, do_audio_mask=True,
+            padded_seq_len=SEQ, num_groups=2)
+        return spans, streams[0][0], streams[0][1]
+
+    rng = np.random.default_rng(7)
+    lens = np.minimum(rng.integers(0, MAX_ROW // 2, size=(B, N)), L // N).astype(np.int32)
+    tokens = rng.integers(10, 30000, size=(B, L)).astype(np.int32)
+    cent = np.sort(rng.uniform(0, 30, size=(B, L)), axis=-1).astype(np.float32)
+    masked = rng.random((B, N)) < 0.25
+    starts = np.sort(rng.uniform(0, 25, size=(B, N)), axis=-1)
+    ase = np.stack([starts, starts + 3.0], -1).astype(np.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(np.arange(B, dtype=np.uint32))
+
+    spans, t0, v0 = jax.jit(jax.vmap(one))(
+        keys, jnp.asarray(tokens), jnp.asarray(lens), jnp.asarray(masked),
+        jnp.asarray(cent), jnp.asarray(ase))
+    assert spans.shape == (B, N, 15)
+    assert t0.shape == (B, SEQ, 3)
+    # stream 0 covers rows [0, N/2): its masked rows appear as MASK tokens
+    t0, v0, = np.asarray(t0), np.asarray(v0)
+    for b in range(B):
+        n_masked_g0 = int(masked[b, :N // 2].sum())
+        assert (t0[b][v0[b]][:, 0] == MASK).sum() == n_masked_g0
+
+
 def test_mask_tokens_budgeted_invariants():
     rng_np = np.random.default_rng(5)
     vals, lens = _random_ragged(rng_np, n_rows=12, max_len=8)
