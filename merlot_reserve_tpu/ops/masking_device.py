@@ -145,6 +145,49 @@ def increase_textmask(row_lengths, masked, tok_centroids, audio_start_end, key,
 
 
 # ---------------------------------------------------------------------------
+# raw-text fake segmentation
+# ---------------------------------------------------------------------------
+
+
+def convert_rawtext_into_fake_segments(key, tokens, n_tokens, desired_len: int,
+                                       span_budget: int,
+                                       use_v1_stats: bool = False):
+    """Chop raw text into fake 'audio span'-length rows by the empirical
+    length distribution (data/masking.py:330-353; dataloader.py:400-446),
+    fixed-shape: returns row_lengths over a static max row count plus the
+    chosen [offset, offset+l_sel) window.
+
+    :param tokens: [Lmax] flat raw text; n_tokens: actual count (<= Lmax)
+    :return: (row_lengths [desired_len] int32 — zero rows beyond the kept
+        spans, offset int32, l_sel int32). Consume as
+        values = tokens[offset : offset + l_sel] with these lengths.
+    """
+    from merlot_reserve_tpu.data.masking import _WEIGHTS_V1, _WEIGHTS_V2
+
+    weights = jnp.asarray(_WEIGHTS_V1 if use_v1_stats else _WEIGHTS_V2,
+                          jnp.float32)
+    ev = float((np.arange(len(weights))
+                * np.asarray(_WEIGHTS_V1 if use_v1_stats else _WEIGHTS_V2)
+                ).sum()) + 1.0
+    L_target = desired_len + int((ev * 0.85 - 1) * span_budget)
+
+    k1, k2 = jax.random.split(key)
+    L = jnp.minimum(L_target, n_tokens)
+    # one categorical draw per potential row (static desired_len rows is
+    # enough: every row is >= 1 token so <= L_target <= static bound rows)
+    max_rows = desired_len
+    segm_lens = jax.random.categorical(
+        k1, jnp.log(weights)[None].repeat(max_rows, 0), axis=-1) + 1
+    keep = jnp.cumsum(segm_lens) <= L
+    segm_lens = jnp.where(keep, segm_lens, 0).astype(jnp.int32)
+
+    l_sel = segm_lens.sum()
+    wiggle = jnp.maximum(n_tokens - l_sel, 1)
+    offset = jax.random.randint(k2, (), 0, wiggle)
+    return segm_lens, offset.astype(jnp.int32), l_sel
+
+
+# ---------------------------------------------------------------------------
 # audio placement + assignment
 # ---------------------------------------------------------------------------
 

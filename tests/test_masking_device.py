@@ -163,6 +163,28 @@ def test_select_tokens_under_budget_identity():
     np.testing.assert_array_equal(np.asarray(out_d)[:10], toks)
 
 
+def test_fake_segments_distribution_and_budget():
+    """Device fake segmentation: spans bounded by the selected window, span
+    lengths in [1, 15], and the span-length distribution tracks the
+    empirical weights (same contract the host engine is tested to)."""
+    Lmax, desired_len, budget = 512, 64, 38
+    tokens = np.arange(1000, 1000 + Lmax).astype(np.int32)
+    counts = np.zeros(16, np.int64)
+    for seed in range(50):
+        lens, offset, l_sel = dev.convert_rawtext_into_fake_segments(
+            jax.random.PRNGKey(seed), jnp.asarray(tokens), Lmax,
+            desired_len, budget)
+        lens, offset, l_sel = np.asarray(lens), int(offset), int(l_sel)
+        assert l_sel == lens.sum()
+        assert offset + l_sel <= Lmax
+        real = lens[lens > 0]
+        assert (real >= 1).all() and (real <= 15).all()
+        np.add.at(counts, real, 1)
+    # distribution sanity: mid lengths (4-7) dominate extremes, per weights
+    assert counts[4:8].sum() > counts[12:16].sum()
+    assert counts[4:8].sum() > counts[1]
+
+
 def test_full_chain_vmaps_and_jits():
     """The batched form the device loader uses: reassign -> widen -> mask ->
     select, vmapped over examples inside one jit."""
