@@ -180,8 +180,7 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
     or 'rdma' (single Pallas kernel, in-kernel async remote DMA ring;
     forward-only, VMEM-bounded shard size).
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
 
     B, L, H, D = q.shape
     n = mesh.shape[axis_name]
@@ -202,23 +201,17 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
                                  interpret=interpret)
     else:
         body = functools.partial(ring_attention, axis_name=axis_name)
-    if impl in ("flash", "rdma") and hasattr(jax, "shard_map"):
+    specs = dict(in_specs=(qkv_spec, qkv_spec, qkv_spec, lbl_spec, lbl_spec),
+                 out_specs=qkv_spec)
+    if hasattr(jax, "shard_map"):
         # pallas_call's out_shape carries no varying-mesh-axes annotation;
-        # disable the vma check for the kernel path (jax.shard_map API)
-        fn = jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(qkv_spec, qkv_spec, qkv_spec, lbl_spec, lbl_spec),
-            out_specs=qkv_spec,
-            check_vma=False,
-        )
-    else:
-        fn = shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(qkv_spec, qkv_spec, qkv_spec, lbl_spec, lbl_spec),
-            out_specs=qkv_spec,
-        )
+        # disable the vma check for the kernel paths
+        fn = jax.shard_map(body, mesh=mesh,
+                           check_vma=impl not in ("flash", "rdma"), **specs)
+    else:  # older JAX
+        from jax.experimental.shard_map import shard_map
+
+        fn = shard_map(body, mesh=mesh, **specs)
     return fn(q, k, v, is_valid.astype(jnp.int32), segment_ids.astype(jnp.int32))
 
 
