@@ -55,9 +55,33 @@ class PretrainLoader:
         # enough when JPEG decode (GIL-released) dominates
         self.use_processes = use_processes
         self._builder = PretrainExampleBuilder(cfg)
+        self._start_from = 0   # records to skip on (re)start
+        self._consumed = 0     # records folded into yielded batches
 
-    def _record_stream(self):
-        """(record_bytes, per-example rng) pairs across epoch-shuffled files."""
+    # -- resumable data state (beyond the reference: dataloader.py:922-924
+    # deliberately re-seeds with time() on restart, losing the position) ----
+
+    def state_dict(self) -> Dict:
+        """Checkpointable position: restore with ``load_state_dict`` on a
+        loader built with the SAME files/seed to continue the exact record
+        sequence (per-example RNG is keyed by (seed, epoch, file, record),
+        so the continuation is bit-identical)."""
+        return {"seed": self.seed, "records_consumed": int(self._consumed),
+                "num_files": len(self.files)}
+
+    def load_state_dict(self, state: Dict):
+        if state.get("seed") != self.seed or \
+                state.get("num_files") != len(self.files):
+            raise ValueError("loader state does not match this loader's "
+                             "seed/file shard — resume would silently "
+                             "change the data stream")
+        self._start_from = int(state["records_consumed"])
+        self._consumed = self._start_from
+
+    def _record_stream(self, skip: int = 0):
+        """(record_bytes, per-example rng) pairs across epoch-shuffled files.
+        ``skip`` fast-forwards that many records (bytes are read, but no
+        decode/masking happens — resume cost is sequential IO only)."""
         rng_files = pyrandom.Random(self.seed)
         epoch = 0
         while True:
@@ -66,6 +90,9 @@ class PretrainLoader:
             for fi, path in enumerate(files):
                 try:
                     for ri, record in enumerate(read_records(path)):
+                        if skip > 0:
+                            skip -= 1
+                            continue
                         yield record, np.random.default_rng((self.seed, epoch, fi, ri))
                 except Exception as e:  # crash-only: log, back off, next file
                     print(f"loader error on {path}: {type(e).__name__}: {e}",
@@ -99,7 +126,7 @@ class PretrainLoader:
                 with Pool(max_workers=self.num_workers) as pool:
                     from collections import deque
 
-                    stream = self._record_stream()
+                    stream = self._record_stream(skip=self._start_from)
                     window = max(2 * self.num_workers, self.batch_size)
                     inflight = deque()
                     batch_examples = []
@@ -130,6 +157,7 @@ class PretrainLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
+                self._consumed += self.batch_size
                 yield batch
         finally:
             stop.set()

@@ -52,6 +52,39 @@ def test_loader_deterministic(corpus_files, cfg):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
 
 
+def test_loader_state_resume(corpus_files, cfg):
+    """state_dict/load_state_dict: a resumed loader continues the exact
+    record sequence a continuous run would have produced (the reference
+    deliberately loses this — time()-seeded restarts, dataloader.py:922-924)."""
+    def batches(loader, n):
+        it = iter(loader)
+        return [next(it) for _ in range(n)]
+
+    full = PretrainLoader(corpus_files, cfg, batch_size=2, seed=11,
+                          num_workers=2, repeat=True)
+    continuous = batches(full, 4)
+
+    first = PretrainLoader(corpus_files, cfg, batch_size=2, seed=11,
+                           num_workers=2, repeat=True)
+    _ = batches(first, 2)
+    state = first.state_dict()
+    assert state["records_consumed"] == 4
+
+    resumed = PretrainLoader(corpus_files, cfg, batch_size=2, seed=11,
+                             num_workers=2, repeat=True)
+    resumed.load_state_dict(state)
+    cont = batches(resumed, 2)
+    for got, want in zip(cont, continuous[2:]):
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+    # mismatched seed refuses to resume
+    other = PretrainLoader(corpus_files, cfg, batch_size=2, seed=12,
+                           num_workers=2)
+    with pytest.raises(ValueError):
+        other.load_state_dict(state)
+
+
 def test_host_sharding(corpus_files, cfg):
     l0 = PretrainLoader(corpus_files, cfg, batch_size=1, host_index=0,
                         num_hosts=2, seed=0, repeat=False)
