@@ -66,6 +66,43 @@ def test_checkpoint_save_load_roundtrip(tmp_path):
     assert restored.params["w"].dtype == np.float32
 
 
+def test_orbax_backend_roundtrip_sharded(tmp_path):
+    """Orbax backend: save a ZeRO-1-sharded train state from a dp=2 mesh and
+    restore it into fresh device-placed buffers (the pod-scale path — each
+    shard written/read in place, no host-0 full gather)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax.training import train_state
+
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.parallel.sharding import state_shardings
+    from merlot_reserve_tpu.utils.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    mesh = make_mesh(dp=2, devices=jax.devices("cpu")[:2])
+    params = {"w": jnp.arange(12, dtype=jnp.float32).reshape(4, 3)}
+    state = train_state.TrainState.create(
+        apply_fn=lambda *a: None, params=params, tx=optax.adam(1e-3))
+    state = jax.device_put(state, state_shardings(mesh, state, zero1=True))
+
+    out = str(tmp_path / "orbax_ck")
+    save_checkpoint_orbax(state, out, wait=True)
+
+    fresh = train_state.TrainState.create(
+        apply_fn=lambda *a: None,
+        params={"w": jnp.zeros((4, 3), jnp.float32)}, tx=optax.adam(1e-3))
+    fresh = jax.device_put(fresh, state_shardings(mesh, fresh, zero1=True))
+    restored = load_checkpoint_orbax(out, fresh)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(params["w"]))
+    # moments restored too (zeros at step 0 but structure/placement intact)
+    assert jax.tree_util.tree_structure(restored.opt_state) == \
+        jax.tree_util.tree_structure(fresh.opt_state)
+
+
 def test_async_checkpointer_matches_sync(tmp_path):
     """Async save (background serialization) must produce the same loadable
     checkpoint, and be donation-safe: mutating the live state after save()
