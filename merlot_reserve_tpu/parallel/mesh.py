@@ -38,8 +38,17 @@ from jax.sharding import Mesh
 
 
 def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (dp, sp, pp, tp) mesh. dp=-1 means all remaining devices."""
+              devices: Optional[Sequence] = None,
+              dcn_dp: Optional[int] = None) -> Mesh:
+    """Build a (dp, sp, pp, tp) mesh. dp=-1 means all remaining devices.
+
+    Multi-slice: pass ``dcn_dp`` = number of slices to split the dp axis
+    across the DCN boundary — device order then comes from
+    ``mesh_utils.create_hybrid_device_mesh`` so that only the outermost dp
+    factor crosses slices (gradient psums tolerate DCN latency; sp/pp/tp
+    collectives stay on intra-slice ICI). The mesh keeps the same 4 axis
+    names, so every sharding rule works unchanged.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     rest = sp * pp * tp
@@ -47,6 +56,18 @@ def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
         assert n % rest == 0, f"{n} devices not divisible by sp*pp*tp={rest}"
         dp = n // rest
     assert dp * rest == n, f"dp({dp})*sp({sp})*pp({pp})*tp({tp}) != {n} devices"
+
+    if dcn_dp is not None and dcn_dp > 1:
+        from jax.experimental import mesh_utils
+
+        assert dp % dcn_dp == 0, f"dp={dp} not divisible by {dcn_dp} slices"
+        hybrid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(dp // dcn_dp, sp, pp, tp),
+            dcn_mesh_shape=(dcn_dp, 1, 1, 1),
+            devices=devices)
+        return Mesh(hybrid.reshape(dp, sp, pp, tp),
+                    axis_names=("dp", "sp", "pp", "tp"))
+
     dev_array = np.asarray(devices).reshape(dp, sp, pp, tp)
     return Mesh(dev_array, axis_names=("dp", "sp", "pp", "tp"))
 

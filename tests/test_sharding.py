@@ -10,6 +10,17 @@ import merlot_reserve_tpu as mr
 from merlot_reserve_tpu.data.dummy import make_dummy_batch
 from merlot_reserve_tpu.models import MerlotReservePretrainer
 from merlot_reserve_tpu.parallel import make_mesh
+
+
+def test_make_mesh_dcn_arg(cpu_devices):
+    import pytest as _pytest
+
+    # dcn_dp=1 (or None) is the plain single-slice path
+    m = make_mesh(dp=4, tp=2, devices=cpu_devices[:8], dcn_dp=1)
+    assert dict(m.shape) == {"dp": 4, "sp": 1, "pp": 1, "tp": 2}
+    # dp must split evenly across slices
+    with _pytest.raises(AssertionError):
+        make_mesh(dp=4, tp=2, devices=cpu_devices[:8], dcn_dp=3)
 from merlot_reserve_tpu.parallel.sharding import (
     batch_sharding,
     opt_state_shardings,
