@@ -174,6 +174,11 @@ class DeviceConfig:
     # mesh axis sizes; -1 on dp means "all remaining devices"
     dp: int = -1
     tp: int = 1
+    sp: int = 1
+    pp: int = 1
+    # number of slices the dp axis spans (multi-slice pods; DCN-aware device
+    # order via make_mesh(dcn_dp=...)). None/1 = single slice.
+    dcn_dp: Optional[int] = None
 
 
 @dataclass(frozen=True)

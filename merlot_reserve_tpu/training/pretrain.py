@@ -52,7 +52,9 @@ def run_pretraining(
     num_steps = num_steps or cfg.optimizer.num_train_steps
     save_every = save_every or cfg.device.iterations_per_loop
     output_dir = output_dir or (cfg.device.output_dir or None)
-    mesh = mesh or make_mesh(dp=cfg.device.dp, tp=cfg.device.tp)
+    mesh = mesh or make_mesh(dp=cfg.device.dp, tp=cfg.device.tp,
+                             sp=cfg.device.sp, pp=cfg.device.pp,
+                             dcn_dp=cfg.device.dcn_dp)
 
     if tracker is None:
         from merlot_reserve_tpu.utils.experiment import make_tracker
@@ -165,7 +167,9 @@ def evaluate_loss(cfg: MerlotConfig, state, batch_iterator, num_batches: int,
     matches training's global-batch semantics."""
     from merlot_reserve_tpu.models.pretrainer import loss_fn_given_preds
 
-    mesh = mesh or make_mesh(dp=cfg.device.dp, tp=cfg.device.tp)
+    mesh = mesh or make_mesh(dp=cfg.device.dp, tp=cfg.device.tp,
+                             sp=cfg.device.sp, pp=cfg.device.pp,
+                             dcn_dp=cfg.device.dcn_dp)
     model = MerlotReservePretrainer.from_config(cfg)
 
     fwd = jax.jit(lambda p, b: model.apply({"params": p}, b))
