@@ -222,6 +222,58 @@ def test_full_chain_vmaps_and_jits():
         assert (t0[b][v0[b]][:, 0] == MASK).sum() == n_masked_g0
 
 
+def test_masked_stream_feeds_model_in_one_jit():
+    """End-to-end in-graph composition: raw tokens -> device masking ->
+    [L, 3] stream -> prepare_multimodal_inputs -> joint transformer, all
+    inside ONE jit — the on-accelerator re-masking path."""
+    import merlot_reserve_tpu as mr
+    from merlot_reserve_tpu.models import MerlotReserve
+
+    cfg = mr.load_config("base", hidden_size=64, joint_num_layers=2,
+                         vit_num_layers=2, audio_num_layers=2,
+                         span_num_layers=2, size_per_head=32,
+                         output_grid=(4, 4), use_bfloat16=False)
+    model = MerlotReserve.from_config(cfg)
+
+    N, MAX_ROW, SEQ = 12, 8, 48
+    rng = np.random.default_rng(9)
+    lens = rng.integers(1, 5, size=N).astype(np.int32)
+    L = 48
+    tokens = rng.integers(10, 30000, size=L).astype(np.int32)
+    masked = np.zeros(N, bool)
+    masked[[3, 8]] = True
+
+    params = model.init_params_full()
+
+    def fwd(params, key, tokens, lens, masked):
+        _, streams = dev.mask_tokens(key, tokens, lens, masked,
+                                     max_row=MAX_ROW, do_audio_mask=True,
+                                     padded_seq_len=SEQ, num_groups=1)
+        stream, valid = streams[0]
+        toks = jnp.where(valid, stream[:, 0], 0)[None]
+        seg_idx = jnp.clip(stream[:, 1], 0, N - 1)[None] // 3
+
+        def run(m):
+            mm = m.prepare_multimodal_inputs(tokens=toks,
+                                             token_segment_idx=seg_idx)
+            out = m.joint_transformer(
+                mm["x"], rotary_coords=mm["rotary_coords"],
+                is_valid=mm["is_valid"], segment_ids=mm["segment_ids"])["seq"]
+            return out, stream
+
+        return model.apply({"params": params}, method=run)
+
+    out, stream = jax.jit(fwd)(params, jax.random.PRNGKey(0),
+                               jnp.asarray(tokens), jnp.asarray(lens),
+                               jnp.asarray(masked))
+    assert out.shape == (1, SEQ, 64)
+    assert np.isfinite(np.asarray(out)).all()
+    # both masked rows surfaced as MASK (+MASKAUDIO) in the stream
+    s = np.asarray(stream)
+    assert (s[:, 0] == MASK).sum() == 2
+    assert (s[:, 0] == MASKAUDIO).sum() == 2
+
+
 def test_mask_tokens_budgeted_invariants():
     rng_np = np.random.default_rng(5)
     vals, lens = _random_ragged(rng_np, n_rows=12, max_len=8)
