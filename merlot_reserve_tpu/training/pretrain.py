@@ -70,6 +70,32 @@ def run_pretraining(
 
     model = MerlotReservePretrainer.from_config(cfg)
 
+    # resumable data position: if the iterator supports it (PretrainLoader),
+    # restore its position from the sidecar written with each checkpoint —
+    # the restart continues the exact record sequence (the reference
+    # deliberately re-seeds with time() instead, dataloader.py:922-924)
+    loader_state_path = (os.path.join(output_dir, "loader_state.json")
+                         if output_dir else None)
+    if (loader_state_path and os.path.exists(loader_state_path)
+            and hasattr(batch_iterator, "load_state_dict")):
+        import json as _json
+
+        with open(loader_state_path) as f:
+            try:
+                batch_iterator.load_state_dict(_json.load(f))
+                print("restored loader position", flush=True)
+            except ValueError as e:
+                print(f"loader state ignored: {e}", flush=True)
+
+    def _save_loader_state():
+        if loader_state_path and hasattr(batch_iterator, "state_dict"):
+            import json as _json
+
+            tmp = loader_state_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(batch_iterator.state_dict(), f)
+            os.replace(tmp, loader_state_path)
+
     batch_iter = iter(batch_iterator)
     first_batch = next(batch_iter)
     params = model.init_params(first_batch)
@@ -123,6 +149,7 @@ def run_pretraining(
 
         if output_dir and (step + 1) % save_every == 0:
             async_ckpt.save(state, output_dir)
+            _save_loader_state()
             # contrastive temperature health print (train.py:134-139)
             scales = np.asarray(jax.device_get(
                 state.params["contrastive_scales"]), np.float32)
@@ -156,6 +183,7 @@ def run_pretraining(
     async_ckpt.wait()
     if output_dir:
         ckpt_lib.save_checkpoint(state, output_dir)
+        _save_loader_state()
     return state
 
 

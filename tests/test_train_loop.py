@@ -54,6 +54,46 @@ def test_train_checkpoint_resume(cfg, tmp_path):
     assert int(jax.device_get(state2.step)) == 5
 
 
+def test_loader_position_checkpointed_with_training(cfg, tmp_path):
+    """run_pretraining persists the loader position next to each checkpoint
+    and restores it on resume — model step AND data position survive
+    restarts together."""
+    import json
+
+    import jax
+
+    from merlot_reserve_tpu.data.loader import PretrainLoader
+    from merlot_reserve_tpu.data.synthetic import write_synthetic_corpus
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.training.pretrain import run_pretraining
+
+    # loader-compatible data shapes (matches tests/test_loader.py)
+    lcfg = cfg.replace_data(num_segments=8, num_segment_groups=2, seq_len=168,
+                            lang_seq_len=48, text_span_budget=10)
+
+    corpus = str(tmp_path / "c.tfrecord")
+    write_synthetic_corpus(corpus, lcfg, num_records=6, seed=0)
+    out = str(tmp_path / "ckpts_loader")
+    os.makedirs(out)
+    mesh = make_mesh(dp=1, tp=1, devices=jax.devices("cpu")[:1])
+
+    loader = PretrainLoader([corpus], lcfg, batch_size=2, seed=3,
+                            num_workers=1, repeat=True)
+    run_pretraining(lcfg, loader, num_steps=3, output_dir=out, mesh=mesh,
+                    log_every=1)
+    sidecar = os.path.join(out, "loader_state.json")
+    assert os.path.exists(sidecar)
+    assert json.load(open(sidecar))["records_consumed"] == 6  # 3 batches x 2
+
+    loader2 = PretrainLoader([corpus], lcfg, batch_size=2, seed=3,
+                             num_workers=1, repeat=True)
+    state = run_pretraining(lcfg, loader2, num_steps=5, output_dir=out,
+                            mesh=mesh, log_every=1)
+    assert int(jax.device_get(state.step)) == 5
+    assert loader2._start_from == 6  # resumed from the sidecar position
+    assert json.load(open(sidecar))["records_consumed"] == 10
+
+
 def test_preemption_checkpoints_and_exits(cfg, tmp_path):
     """SIGTERM mid-run: finish the in-flight step, write a checkpoint, and
     return — a restart resumes from the preempted step with zero lost work."""
