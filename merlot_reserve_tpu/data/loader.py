@@ -122,6 +122,18 @@ class PretrainLoader:
                 from concurrent.futures import ProcessPoolExecutor as Pool
             else:
                 Pool = ThreadPoolExecutor
+            def put_or_stop(item) -> bool:
+                # never block forever: a consumer that stops early (e.g.
+                # run_pretraining hit num_steps) must not leak this thread
+                # parked in a full queue
+                while not stop.is_set():
+                    try:
+                        out_q.put(item, timeout=0.5)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             try:
                 with Pool(max_workers=self.num_workers) as pool:
                     from collections import deque
@@ -142,13 +154,15 @@ class PretrainLoader:
                         ex = inflight.popleft().result()
                         batch_examples.append(ex)
                         if len(batch_examples) == self.batch_size:
-                            out_q.put(collate_batch(batch_examples,
-                                                    use_bfloat16=self.use_bfloat16))
+                            if not put_or_stop(collate_batch(
+                                    batch_examples,
+                                    use_bfloat16=self.use_bfloat16)):
+                                break
                             batch_examples = []
             except Exception as e:
                 print(f"loader producer died: {type(e).__name__}: {e}", flush=True)
             finally:
-                out_q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
