@@ -96,9 +96,14 @@ def test_loader_position_checkpointed_with_training(cfg, tmp_path):
 
 def test_preemption_checkpoints_and_exits(cfg, tmp_path):
     """SIGTERM mid-run: finish the in-flight step, write a checkpoint, and
-    return — a restart resumes from the preempted step with zero lost work."""
-    import os as _os
-    import signal
+    return — a restart resumes from the preempted step with zero lost work.
+
+    The SIGTERM phase runs in a SUBPROCESS: delivering signals to the shared
+    pytest process is fragile mid-suite (a signal landing inside an XLA
+    compile segfaulted the CPU backend when this ran late in the full run).
+    """
+    import subprocess
+    import sys
 
     import jax
 
@@ -106,21 +111,50 @@ def test_preemption_checkpoints_and_exits(cfg, tmp_path):
     from merlot_reserve_tpu.training.pretrain import run_pretraining
 
     out = str(tmp_path / "ckpts_preempt")
-    _os.makedirs(out)
-    mesh = make_mesh(dp=1, tp=1, devices=jax.devices("cpu")[:1])
+    os.makedirs(out)
 
-    def batches():
-        for i in range(50):
-            if i == 2:  # "preemption notice" arrives while fetching batch 3
-                _os.kill(_os.getpid(), signal.SIGTERM)
-            yield make_dummy_batch(cfg, batch_size=2, seed=i, num_text_spans=16)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = f"""
+import os, signal, sys
+sys.path.insert(0, {repr(repo_root)})
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import merlot_reserve_tpu as mr
+from merlot_reserve_tpu.data.dummy import make_dummy_batch
+from merlot_reserve_tpu.parallel import make_mesh
+from merlot_reserve_tpu.training.pretrain import run_pretraining
+import dataclasses
 
-    state = run_pretraining(cfg, batches(), num_steps=50, output_dir=out,
-                            mesh=mesh, log_every=1, save_every=1000)
-    stopped_at = int(jax.device_get(state.step))
+cfg = mr.load_config("base", hidden_size=64, joint_num_layers=2, vit_num_layers=2,
+                     audio_num_layers=2, span_num_layers=2, size_per_head=32,
+                     output_grid=(4, 4), use_bfloat16=False)
+cfg = cfg.replace_data(num_segments=4, num_segment_groups=2, seq_len=80,
+                       lang_seq_len=40, num_text_spans_to_include=8)
+cfg = dataclasses.replace(cfg, optimizer=dataclasses.replace(
+    cfg.optimizer, num_train_steps=100, num_warmup_steps=10))
+
+def batches():
+    for i in range(50):
+        if i == 2:  # "preemption notice" arrives while fetching batch 3
+            os.kill(os.getpid(), signal.SIGTERM)
+        yield make_dummy_batch(cfg, batch_size=2, seed=i, num_text_spans=16)
+
+mesh = make_mesh(dp=1, tp=1, devices=jax.devices("cpu")[:1])
+state = run_pretraining(cfg, batches(), num_steps=50, output_dir={repr(out)},
+                        mesh=mesh, log_every=1, save_every=1000)
+print("STOPPED_AT", int(jax.device_get(state.step)))
+"""
+    proc = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stopped_at = int([l for l in proc.stdout.splitlines()
+                      if l.startswith("STOPPED_AT")][0].split()[1])
     assert stopped_at < 50, "SIGTERM should have stopped the run early"
-    assert any(f.startswith("ckpt_") for f in _os.listdir(out))
+    assert any(f.startswith("ckpt_") for f in os.listdir(out))
 
+    # resume in-process from the preempted checkpoint
+    mesh = make_mesh(dp=1, tp=1, devices=jax.devices("cpu")[:1])
     state2 = run_pretraining(cfg, _batches(cfg, 10), output_dir=out,
                              num_steps=stopped_at + 2, mesh=mesh, log_every=1)
     assert int(jax.device_get(state2.step)) == stopped_at + 2
