@@ -54,43 +54,71 @@ def test_train_checkpoint_resume(cfg, tmp_path):
     assert int(jax.device_get(state2.step)) == 5
 
 
-def test_loader_position_checkpointed_with_training(cfg, tmp_path):
+def test_loader_position_checkpointed_with_training(tmp_path):
     """run_pretraining persists the loader position next to each checkpoint
     and restores it on resume — model step AND data position survive
-    restarts together."""
+    restarts together.
+
+    Runs in a SUBPROCESS: this scenario (two full training runs over real
+    loader threads) right before another in-process XLA CPU compile
+    reliably segfaulted the compiler late in the full suite; isolation
+    keeps the suite deterministic.
+    """
     import json
+    import subprocess
+    import sys
 
-    import jax
-
-    from merlot_reserve_tpu.data.loader import PretrainLoader
-    from merlot_reserve_tpu.data.synthetic import write_synthetic_corpus
-    from merlot_reserve_tpu.parallel import make_mesh
-    from merlot_reserve_tpu.training.pretrain import run_pretraining
-
-    # loader-compatible data shapes (matches tests/test_loader.py)
-    lcfg = cfg.replace_data(num_segments=8, num_segment_groups=2, seq_len=168,
-                            lang_seq_len=48, text_span_budget=10)
-
-    corpus = str(tmp_path / "c.tfrecord")
-    write_synthetic_corpus(corpus, lcfg, num_records=6, seed=0)
     out = str(tmp_path / "ckpts_loader")
     os.makedirs(out)
-    mesh = make_mesh(dp=1, tp=1, devices=jax.devices("cpu")[:1])
+    corpus = str(tmp_path / "c.tfrecord")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    loader = PretrainLoader([corpus], lcfg, batch_size=2, seed=3,
-                            num_workers=1, repeat=True)
-    run_pretraining(lcfg, loader, num_steps=3, output_dir=out, mesh=mesh,
-                    log_every=1)
+    script = f"""
+import os, sys, json
+sys.path.insert(0, {repr(repo_root)})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import merlot_reserve_tpu as mr
+from merlot_reserve_tpu.data.loader import PretrainLoader
+from merlot_reserve_tpu.data.synthetic import write_synthetic_corpus
+from merlot_reserve_tpu.parallel import make_mesh
+from merlot_reserve_tpu.training.pretrain import run_pretraining
+import dataclasses
+
+cfg = mr.load_config("base", hidden_size=64, joint_num_layers=2, vit_num_layers=2,
+                     audio_num_layers=2, span_num_layers=2, size_per_head=32,
+                     output_grid=(4, 4), use_bfloat16=False)
+cfg = cfg.replace_data(num_segments=8, num_segment_groups=2, seq_len=168,
+                       lang_seq_len=48, text_span_budget=10,
+                       num_text_spans_to_include=8)
+cfg = dataclasses.replace(cfg, optimizer=dataclasses.replace(
+    cfg.optimizer, num_train_steps=100, num_warmup_steps=10))
+
+corpus, out = {repr(corpus)}, {repr(out)}
+write_synthetic_corpus(corpus, cfg, num_records=6, seed=0)
+mesh = make_mesh(dp=1, tp=1, devices=jax.devices("cpu")[:1])
+
+loader = PretrainLoader([corpus], cfg, batch_size=2, seed=3, num_workers=1,
+                        repeat=True)
+run_pretraining(cfg, loader, num_steps=3, output_dir=out, mesh=mesh, log_every=1)
+sidecar = os.path.join(out, "loader_state.json")
+assert json.load(open(sidecar))["records_consumed"] == 6  # 3 batches x 2
+
+loader2 = PretrainLoader([corpus], cfg, batch_size=2, seed=3, num_workers=1,
+                         repeat=True)
+state = run_pretraining(cfg, loader2, num_steps=5, output_dir=out, mesh=mesh,
+                        log_every=1)
+assert int(jax.device_get(state.step)) == 5
+assert loader2._start_from == 6  # resumed from the sidecar position
+print("FINAL_CONSUMED", json.load(open(sidecar))["records_consumed"])
+"""
+    proc = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    final = int([l for l in proc.stdout.splitlines()
+                 if l.startswith("FINAL_CONSUMED")][0].split()[1])
+    assert final == 10
     sidecar = os.path.join(out, "loader_state.json")
-    assert os.path.exists(sidecar)
-    assert json.load(open(sidecar))["records_consumed"] == 6  # 3 batches x 2
-
-    loader2 = PretrainLoader([corpus], lcfg, batch_size=2, seed=3,
-                             num_workers=1, repeat=True)
-    state = run_pretraining(lcfg, loader2, num_steps=5, output_dir=out,
-                            mesh=mesh, log_every=1)
-    assert int(jax.device_get(state.step)) == 5
-    assert loader2._start_from == 6  # resumed from the sidecar position
     assert json.load(open(sidecar))["records_consumed"] == 10
 
 
