@@ -158,8 +158,8 @@ def convert_rawtext_into_fake_segments(key, tokens, n_tokens, desired_len: int,
     chosen [offset, offset+l_sel) window.
 
     :param tokens: [Lmax] flat raw text; n_tokens: actual count (<= Lmax)
-    :return: (row_lengths [desired_len] int32 — zero rows beyond the kept
-        spans, offset int32, l_sel int32). Consume as
+    :return: (row_lengths [max(desired_len, L_target)] int32 — zero rows
+        beyond the kept spans, offset int32, l_sel int32). Consume as
         values = tokens[offset : offset + l_sel] with these lengths.
     """
     from merlot_reserve_tpu.data.masking import _WEIGHTS_V1, _WEIGHTS_V2
@@ -173,9 +173,10 @@ def convert_rawtext_into_fake_segments(key, tokens, n_tokens, desired_len: int,
 
     k1, k2 = jax.random.split(key)
     L = jnp.minimum(L_target, n_tokens)
-    # one categorical draw per potential row (static desired_len rows is
-    # enough: every row is >= 1 token so <= L_target <= static bound rows)
-    max_rows = desired_len
+    # one categorical draw per potential row. Worst case is all length-1
+    # draws, which needs L_target rows — desired_len alone would truncate
+    # the many-short-rows tail of the distribution whenever span_budget > 0.
+    max_rows = max(desired_len, L_target)
     segm_lens = jax.random.categorical(
         k1, jnp.log(weights)[None].repeat(max_rows, 0), axis=-1) + 1
     keep = jnp.cumsum(segm_lens) <= L
@@ -294,11 +295,17 @@ def mask_tokens(key, tokens, row_lengths, masked, *,
     pos_in_row = jnp.arange(L) - jnp.concatenate(
         [jnp.zeros(1, row_lengths.dtype), jnp.cumsum(row_lengths)[:-1]])[rid]
 
-    # dense [N, max_row] of the original rows
+    # dense [N, max_row] of the original rows. Scatter with UNCLIPPED
+    # indices and mode='drop': both row-overflow positions (pos_in_row >=
+    # max_row) and trailing flat-stream padding (jnp.repeat's
+    # total_repeat_length pads rid with n-1, pos_in_row >= that row's
+    # length) fall outside the target and are dropped — clipping instead
+    # would overwrite the last row's real final token with 0 whenever
+    # sum(row_lengths) < L and row_lengths[n-1] == max_row.
+    is_real = jnp.arange(L) < jnp.sum(row_lengths)
+    rid_safe = jnp.where(is_real, rid, n)  # n is out of bounds -> dropped
     dense = jnp.full((n, max_row), 0, tokens.dtype)
-    in_bounds = pos_in_row < max_row
-    dense = dense.at[rid, jnp.clip(pos_in_row, 0, max_row - 1)].set(
-        jnp.where(in_bounds, tokens, 0))
+    dense = dense.at[rid_safe, pos_in_row].set(tokens, mode="drop")
     dense_len = jnp.minimum(row_lengths, max_row)
 
     # text spans: masked rows' original contents, -1 padded

@@ -192,31 +192,38 @@ def evaluate_loss(cfg: MerlotConfig, state, batch_iterator, num_batches: int,
     """validate.py equivalent (/root/reference/pretrain/validate.py:94-158):
     accumulate forward outputs over several batches, then compute the
     contrastive loss once over the concatenated megabatch so the denominator
-    matches training's global-batch semantics."""
+    matches training's global-batch semantics.
+
+    Mesh-aware: the forward jits with batches sharded over dp and runs under
+    ``activate_mesh`` (so seq_shard_axis constraints and the pipeline
+    shard_map resolve — the same wrapper make_jit_train_step uses), preds
+    stay on device until the single megabatch loss, and only scalars come
+    back to the host."""
     from merlot_reserve_tpu.models.pretrainer import loss_fn_given_preds
+    from merlot_reserve_tpu.parallel.mesh import activate_mesh
+    from merlot_reserve_tpu.parallel.sharding import (batch_sharding,
+                                                      param_shardings)
 
     mesh = mesh or make_mesh(dp=cfg.device.dp, tp=cfg.device.tp,
                              sp=cfg.device.sp, pp=cfg.device.pp,
                              dcn_dp=cfg.device.dcn_dp)
     model = MerlotReservePretrainer.from_config(cfg)
 
-    fwd = jax.jit(lambda p, b: model.apply({"params": p}, b))
+    p_shardings = param_shardings(mesh, state.params)
+    fwd = jax.jit(lambda p, b: model.apply({"params": p}, b),
+                  in_shardings=(p_shardings, batch_sharding(mesh)))
+    loss_jit = jax.jit(loss_fn_given_preds)
 
-    preds_acc = None
     it = iter(batch_iterator)
-    for _ in range(num_batches):
-        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
-        preds = jax.device_get(fwd(state.params, batch))
-        if preds_acc is None:
-            preds_acc = jax.tree.map(lambda x: [x], preds)
-        else:
-            preds_acc = jax.tree.map(lambda acc, x: acc + [x], preds_acc, preds,
-                                     is_leaf=lambda x: isinstance(x, list))
-    preds_cat = jax.tree.map(
-        lambda xs: np.concatenate(xs, 0) if np.asarray(xs[0]).ndim > 0 else xs[0],
-        preds_acc, is_leaf=lambda x: isinstance(x, list))
-    loss, info = jax.jit(loss_fn_given_preds)(
-        jax.tree.map(jnp.asarray, preds_cat))
+    preds_acc = []
+    with activate_mesh(mesh):
+        for _ in range(num_batches):
+            batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+            preds_acc.append(fwd(state.params, batch))
+        preds_cat = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, 0) if xs[0].ndim > 0 else xs[0],
+            *preds_acc)
+        loss, info = loss_jit(preds_cat)
     info = {k: float(v) for k, v in info.items()}
     info["total"] = float(loss)
     return info

@@ -274,6 +274,43 @@ def test_masked_stream_feeds_model_in_one_jit():
     assert (s[:, 0] == MASKAUDIO).sum() == 2
 
 
+def test_mask_tokens_trailing_padding_full_last_row():
+    """Regression (r2 advisor): trailing flat-stream padding + last row at
+    exactly max_row used to clip the padding scatter onto the last column,
+    overwriting the row's real final token with 0."""
+    tokens = np.asarray([20, 21, 22, 23, 99, 98], np.int32)  # 2 pad tokens
+    lens = np.asarray([4], np.int32)
+    masked = np.asarray([False])
+    _, streams = dev.mask_tokens(
+        jax.random.PRNGKey(0), jnp.asarray(tokens), jnp.asarray(lens),
+        jnp.asarray(masked), max_row=4, num_groups=1)
+    t, v = streams[0]
+    t, v = np.asarray(t), np.asarray(v)
+    np.testing.assert_array_equal(t[v][:, 0], [20, 21, 22, 23])
+
+
+def test_fake_segments_short_row_tail_not_truncated():
+    """Regression (r2 advisor): with span_budget > 0 the target token count
+    L exceeds desired_len, so the row bound must be L_target, not
+    desired_len — otherwise the many-short-rows tail is cut and l_sel falls
+    far short of L."""
+    Lmax, desired_len, budget = 512, 8, 38
+    tokens = np.arange(Lmax).astype(np.int32)
+    for seed in range(20):
+        lens, offset, l_sel = dev.convert_rawtext_into_fake_segments(
+            jax.random.PRNGKey(seed), jnp.asarray(tokens), Lmax,
+            desired_len, budget)
+        lens, l_sel = np.asarray(lens), int(l_sel)
+        assert lens.shape[0] >= desired_len
+        assert l_sel == lens.sum()
+        # keep = cumsum <= L drops at most the one overshooting row (< 15
+        # tokens); the old desired_len bound left l_sel at ~48 of L~170
+        from merlot_reserve_tpu.data.masking import _WEIGHTS_V2
+        ev = float((np.arange(len(_WEIGHTS_V2)) * np.asarray(_WEIGHTS_V2)).sum()) + 1.0
+        L_target = desired_len + int((ev * 0.85 - 1) * budget)
+        assert l_sel >= min(L_target, Lmax) - 15
+
+
 def test_mask_tokens_budgeted_invariants():
     rng_np = np.random.default_rng(5)
     vals, lens = _random_ragged(rng_np, n_rows=12, max_len=8)

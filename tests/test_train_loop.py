@@ -229,3 +229,45 @@ def test_evaluate_loss(cfg):
     assert np.isfinite(info["total"])
     # megabatch denominator: more negatives than a single batch would have
     assert info["imgs_to_audio"] > 0
+
+
+def test_evaluate_loss_sp_pp_mesh():
+    """Regression (r2 advisor): evaluate_loss used to jit without
+    activate_mesh, so exactly the seq-shard / pipeline layouts broke eval
+    ('no active mesh' assert in TransformerEncoder). Must match the plain
+    dp eval losses — layout never changes the math."""
+    import dataclasses
+
+    import jax
+
+    from merlot_reserve_tpu.models import MerlotReservePretrainer
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.training.optimization import construct_train_state
+    from merlot_reserve_tpu.training.pretrain import evaluate_loss
+
+    def _cfg(**model_overrides):
+        c = mr.load_config("base", hidden_size=64, joint_num_layers=2,
+                           vit_num_layers=2, audio_num_layers=2,
+                           span_num_layers=2, size_per_head=32,
+                           output_grid=(4, 4), use_bfloat16=False,
+                           **model_overrides)
+        return c.replace_data(num_segments=4, num_segment_groups=2, seq_len=80,
+                              lang_seq_len=40, num_text_spans_to_include=8)
+
+    base_cfg = _cfg()
+    model = MerlotReservePretrainer.from_config(base_cfg)
+    batch = make_dummy_batch(base_cfg, batch_size=2, seed=0, num_text_spans=16)
+    params = model.init_params(batch)
+    state = construct_train_state(base_cfg.optimizer, model, params)
+
+    mesh_dp = make_mesh(dp=1, tp=1, devices=jax.devices("cpu")[:1])
+    ref = evaluate_loss(base_cfg, state, _batches(base_cfg, 2), num_batches=2,
+                        mesh=mesh_dp)
+
+    sharded_cfg = _cfg(seq_shard_axis="sp", pipeline_axis="pp",
+                       pipeline_microbatches=2)
+    mesh_sppp = make_mesh(dp=1, sp=2, pp=2, devices=jax.devices("cpu")[:4])
+    info = evaluate_loss(sharded_cfg, state, _batches(base_cfg, 2),
+                         num_batches=2, mesh=mesh_sppp)
+    for k in ref:
+        assert abs(ref[k] - info[k]) < 1e-4, (k, ref[k], info[k])
