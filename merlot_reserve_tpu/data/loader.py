@@ -56,7 +56,8 @@ class PretrainLoader:
         self.use_processes = use_processes
         self._builder = PretrainExampleBuilder(cfg)
         self._start_from = 0   # records to skip on (re)start
-        self._consumed = 0     # records folded into yielded batches
+        self._consumed = 0     # records consumed by yielded batches (incl. skips)
+        self._skipped = 0      # corrupt records dropped (observability)
 
     # -- resumable data state (beyond the reference: dataloader.py:922-924
     # deliberately re-seeds with time() on restart, losing the position) ----
@@ -67,6 +68,7 @@ class PretrainLoader:
         sequence (per-example RNG is keyed by (seed, epoch, file, record),
         so the continuation is bit-identical)."""
         return {"seed": self.seed, "records_consumed": int(self._consumed),
+                "records_skipped": int(self._skipped),
                 "num_files": len(self.files)}
 
     def load_state_dict(self, state: Dict):
@@ -142,6 +144,7 @@ class PretrainLoader:
                     window = max(2 * self.num_workers, self.batch_size)
                     inflight = deque()
                     batch_examples = []
+                    skipped_in_batch = 0
                     while not stop.is_set():
                         while len(inflight) < window:
                             try:
@@ -151,14 +154,31 @@ class PretrainLoader:
                                 break
                         if not inflight:
                             break
-                        ex = inflight.popleft().result()
+                        # Per-record resilience: one poisoned record must not
+                        # end the stream (the reference swallows ANY pipeline
+                        # error and resumes, dataloader.py:943-955 — we skip
+                        # and COUNT instead of swallowing silently).
+                        try:
+                            ex = inflight.popleft().result()
+                        except Exception as e:
+                            self._skipped += 1
+                            skipped_in_batch += 1
+                            print(f"loader: skipping corrupt record "
+                                  f"({type(e).__name__}: {e}); "
+                                  f"{self._skipped} skipped total", flush=True)
+                            continue
                         batch_examples.append(ex)
                         if len(batch_examples) == self.batch_size:
-                            if not put_or_stop(collate_batch(
-                                    batch_examples,
-                                    use_bfloat16=self.use_bfloat16)):
+                            batch = collate_batch(
+                                batch_examples, use_bfloat16=self.use_bfloat16)
+                            # the batch "consumed" its skips too, so the
+                            # resume position stays a raw-record count
+                            if not put_or_stop(
+                                    (batch,
+                                     self.batch_size + skipped_in_batch)):
                                 break
                             batch_examples = []
+                            skipped_in_batch = 0
             except Exception as e:
                 print(f"loader producer died: {type(e).__name__}: {e}", flush=True)
             finally:
@@ -168,10 +188,11 @@ class PretrainLoader:
         t.start()
         try:
             while True:
-                batch = out_q.get()
-                if batch is None:
+                item = out_q.get()
+                if item is None:
                     return
-                self._consumed += self.batch_size
+                batch, n_records = item
+                self._consumed += n_records
                 yield batch
         finally:
             stop.set()

@@ -103,6 +103,32 @@ def test_input_fn_builder(corpus_files, cfg):
     assert loader.batch_size == 2
 
 
+def test_loader_survives_corrupt_record(cfg, tmp_path):
+    """A poisoned record mid-stream must not end the input stream: the
+    loader skips it, counts it, and keeps streaming the remainder (reference
+    semantics swallow ANY pipeline error, dataloader.py:943-955 — here the
+    skip is per record and observable)."""
+    from merlot_reserve_tpu.data.tfrecord import read_records, write_records
+
+    path = str(tmp_path / "poisoned.tfrecord")
+    write_synthetic_corpus(path, cfg, num_records=6, seed=0)
+    records = list(read_records(path))
+    records[2] = b"\xff" * 64  # valid framing, garbage protobuf payload
+    write_records(path, records)
+
+    loader = PretrainLoader([path], cfg, batch_size=2, seed=5,
+                            num_workers=2, repeat=False)
+    batches = list(loader)
+    # 5 good records -> 2 full batches; the stream ends cleanly
+    assert len(batches) == 2
+    assert loader._skipped == 1
+    state = loader.state_dict()
+    assert state["records_skipped"] == 1
+    # consumed counts raw records including the skip iff the corrupt record
+    # fell inside a yielded batch's window
+    assert state["records_consumed"] in (4, 5)
+
+
 def test_loader_with_processes(corpus_files, cfg):
     loader = PretrainLoader(corpus_files, cfg, batch_size=2, seed=0,
                             num_workers=2, repeat=False, use_processes=True)
