@@ -62,8 +62,14 @@ class ModelConfig:
     rotary_sign_quirk: bool = True
     do_rotary: bool = True
     # 'flash' = Pallas fused attention on TPU, 'xla' = plain einsum attention.
-    # 'auto' picks flash on TPU when shapes allow.
+    # 'auto' picks flash on TPU when shapes allow. 'flash:BQ:BK' pins the
+    # kernel block sizes.
     attention_impl: str = "auto"
+    # Override for the JOINT transformer only (the L=640 hot path) —
+    # flash there trades per-op speed for O(L^2)-free activation memory
+    # (bigger per-chip batch); the short vision/audio/span towers keep
+    # attention_impl. None = no override.
+    joint_attention_impl: "str | None" = None
     gradient_checkpoint: bool = False
     # scan over transformer layers (compile 1 layer body instead of N).
     # Param layout: stacked [L, ...] under 'layers'; checkpoint IO converts
@@ -126,6 +132,10 @@ class DataConfig:
 
     random_scale_max: float = 1.1
     random_scale_min: float = 1.05
+    # per-image random resize kernel during training (the reference picks a
+    # random TF resize method per image when scale-jittering,
+    # data_utils.py:8-23,110-117); False pins bilinear
+    random_resize_method: bool = True
 
     fft_hop_length: int = 588
     fft_window_size: int = 1536

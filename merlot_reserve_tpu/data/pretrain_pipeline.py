@@ -54,22 +54,43 @@ def flip_if_vertical(img: np.ndarray) -> np.ndarray:
     return img
 
 
+def pil_resize_methods():
+    """The per-image random resize kernel pool: PIL's six resampling
+    filters, the host-side mirror of the reference's random TF resize
+    method selection (apply_with_random_selector over every
+    tf.image.ResizeMethod, data_utils.py:8-23,110-117). Sorted by name so
+    the index -> method mapping is deterministic."""
+    from PIL import Image
+
+    return [Image.Resampling.BICUBIC, Image.Resampling.BILINEAR,
+            Image.Resampling.BOX, Image.Resampling.HAMMING,
+            Image.Resampling.LANCZOS, Image.Resampling.NEAREST]
+
+
 def host_image_to_patches(img: np.ndarray, grid, rng=None,
-                          random_scale=None, patch_size: int = 16) -> np.ndarray:
+                          random_scale=None, patch_size: int = 16,
+                          random_resize_method: bool = True) -> np.ndarray:
     """Host-side (PIL+numpy) resize_and_pad + space_to_depth: aspect-preserving
     resize into the grid box (optionally scale-jittered with a random crop
-    offset, cf. data_utils.py:42-147), zero pad, patchify."""
+    offset and a random per-image resize kernel, cf. data_utils.py:42-147),
+    zero pad, patchify. The kernel randomization is a training regularizer
+    (reference: resize_method='random' only when do_random_scale,
+    data_utils.py:110-117); eval (rng=None) is always bilinear."""
     from PIL import Image
 
     dh, dw = grid[0] * patch_size, grid[1] * patch_size
     h, w = img.shape[:2]
     scale = min(dh / h, dw / w)
     off_y = off_x = 0
+    method = Image.Resampling.BILINEAR
     if rng is not None and random_scale is not None:
         scale = scale * rng.uniform(random_scale[0], random_scale[1])
+        if random_resize_method:
+            methods = pil_resize_methods()
+            method = methods[int(rng.integers(0, len(methods)))]
     sh, sw = max(int(h * scale), 1), max(int(w * scale), 1)
     resized = np.asarray(
-        Image.fromarray(img).resize((sw, sh), Image.BILINEAR), np.float32) / 255.0
+        Image.fromarray(img).resize((sw, sh), method), np.float32) / 255.0
     if rng is not None:
         off_y = int(rng.integers(0, max(sh - dh, 0) + 1))
         off_x = int(rng.integers(0, max(sw - dw, 0) + 1))
@@ -170,7 +191,12 @@ class PretrainExampleBuilder:
 
         from merlot_reserve_tpu.data import native as N
 
-        if N.native_available():
+        # NOTE: the native fast path resizes with its vectorized bilinear
+        # kernel only — it does NOT implement the random resize-method
+        # selector (the PIL path below does). Set
+        # data.random_resize_method=False for strict PIL/native parity, or
+        # accept bilinear-only augmentation when the native plane is on.
+        if N.native_available() and not self.cfg.data.random_resize_method:
             img = flip_if_vertical(N.decode_jpeg_native(data, channels=3))
             h, w = img.shape[:2]
             dh, dw = grid[0] * 16, grid[1] * 16
@@ -181,9 +207,14 @@ class PretrainExampleBuilder:
             off_x = int(rng.integers(0, max(sw - dw, 0) + 1))
             return N.resize_patchify_native(img, grid, scale_mult=mult,
                                             off_y=off_y, off_x=off_x)
-
-        img = flip_if_vertical(_decode_jpeg(data, channels=3))
-        return host_image_to_patches(img, grid, rng=rng, random_scale=scale_rng)
+        if N.native_available():
+            # native JPEG decode + PIL resize (random kernel) + numpy patchify
+            img = flip_if_vertical(N.decode_jpeg_native(data, channels=3))
+        else:
+            img = flip_if_vertical(_decode_jpeg(data, channels=3))
+        return host_image_to_patches(
+            img, grid, rng=rng, random_scale=scale_rng,
+            random_resize_method=self.cfg.data.random_resize_method)
 
     def decode_audio(self, seg: Dict, rng: np.random.Generator):
         """Spectrogram JPEG + magic number -> [num_subsegments, 60, 65] with

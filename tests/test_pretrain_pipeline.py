@@ -120,3 +120,48 @@ def test_collate_and_train_step(corpus, cfg):
     floats = {k: float(v) for k, v in metrics.items()}
     assert all(np.isfinite(v) for v in floats.values()), floats
     assert floats["imgs_to_audio"] > 0
+
+
+def test_random_resize_method_deterministic_and_varied():
+    """Per-image random resize kernel (data_utils.py:8-23,110-117 parity):
+    deterministic given the rng, draws every PIL method over many seeds,
+    and different kernels actually change the pixels."""
+    from merlot_reserve_tpu.data.pretrain_pipeline import (
+        host_image_to_patches, pil_resize_methods)
+
+    rng0 = np.random.default_rng(3)
+    img = (rng0.uniform(0, 255, size=(96, 128, 3))).astype(np.uint8)
+    grid, scale = (4, 4), (1.05, 1.1)
+
+    a = host_image_to_patches(img, grid, rng=np.random.default_rng(7),
+                              random_scale=scale)
+    b = host_image_to_patches(img, grid, rng=np.random.default_rng(7),
+                              random_scale=scale)
+    np.testing.assert_array_equal(a, b)
+
+    # method distribution: every kernel index shows up across seeds, and the
+    # chosen kernel changes the output relative to forced-bilinear
+    n_methods = len(pil_resize_methods())
+    seen = set()
+    n_diff = 0
+    for seed in range(60):
+        r1 = np.random.default_rng(seed)
+        out_rand = host_image_to_patches(img, grid, rng=r1, random_scale=scale)
+        # replay the same rng draws to learn which method was chosen
+        r2 = np.random.default_rng(seed)
+        r2.uniform(*scale)
+        m = int(r2.integers(0, n_methods))
+        seen.add(m)
+        out_bilin = host_image_to_patches(img, grid,
+                                          rng=np.random.default_rng(seed),
+                                          random_scale=scale,
+                                          random_resize_method=False)
+        if not np.array_equal(out_rand, out_bilin):
+            n_diff += 1
+    assert seen == set(range(n_methods))
+    assert n_diff > 30  # non-bilinear kernels change the pixels
+
+    # eval path (rng=None) ignores the selector entirely
+    e1 = host_image_to_patches(img, grid)
+    e2 = host_image_to_patches(img, grid)
+    np.testing.assert_array_equal(e1, e2)
