@@ -87,6 +87,9 @@ class MerlotReserve(nn.Module):
             do_rotary=cfg.do_rotary,
             **common,
         )
+        joint_kwargs = dict(common)
+        if cfg.joint_attention_impl is not None:
+            joint_kwargs["attention_impl"] = cfg.joint_attention_impl
         self.joint_transformer = TransformerEncoder(
             hidden_size=cfg.hidden_size,
             num_layers=cfg.joint_num_layers,
@@ -95,7 +98,7 @@ class MerlotReserve(nn.Module):
             seq_shard_axis=cfg.seq_shard_axis,
             pipeline_axis=cfg.pipeline_axis,
             pipeline_microbatches=cfg.pipeline_microbatches,
-            **common,
+            **joint_kwargs,
         )
         self.joint_proj = nn.Dense(features=cfg.hidden_size, dtype=self.dtype,
                                    kernel_init=kernel_init, name="head")
@@ -454,12 +457,48 @@ class PretrainedMerlotReserve:
         return self.embed_text_spans_only(jnp.asarray(table))
 
 
-def _download_ckpt(param_fn: str, cache_path: str):
+def _download_ckpt(param_fn: str, cache_path: str, retries: int = 3):
+    """Fetch a released checkpoint into the local cache.
+
+    Mirrors the reference's robustness order (modeling.py:974-989): prefer
+    the GCS client when installed, fall back to plain HTTPS with retries.
+    Downloads land in a temp file and rename atomically so an interrupted
+    download never leaves a truncated cache entry behind."""
+    import os
+    import time
+
+    tmp_path = cache_path + ".tmp"
+
+    try:
+        from google.cloud import storage  # optional dep
+
+        client = storage.Client.create_anonymous_client()
+        bucket = client.bucket("merlotreserve")
+        bucket.blob(f"ckpts/{param_fn}").download_to_filename(tmp_path)
+        os.replace(tmp_path, cache_path)
+        return
+    except ImportError:
+        pass
+    except Exception as e:  # GCS path failed; fall through to HTTPS
+        print(f"GCS download failed ({type(e).__name__}: {e}); "
+              f"falling back to HTTPS", flush=True)
+
     import requests
 
     url = f"https://storage.googleapis.com/merlotreserve/ckpts/{param_fn}"
-    r = requests.get(url, stream=True)
-    r.raise_for_status()
-    with open(cache_path, "wb") as f:
-        for chunk in r.iter_content(chunk_size=1 << 20):
-            f.write(chunk)
+    last_err = None
+    for attempt in range(retries):
+        try:
+            r = requests.get(url, stream=True, timeout=60)
+            r.raise_for_status()
+            with open(tmp_path, "wb") as f:
+                for chunk in r.iter_content(chunk_size=1 << 20):
+                    f.write(chunk)
+            os.replace(tmp_path, cache_path)
+            return
+        except Exception as e:
+            last_err = e
+            print(f"checkpoint download attempt {attempt + 1}/{retries} "
+                  f"failed: {type(e).__name__}: {e}", flush=True)
+            time.sleep(2.0 * (attempt + 1))
+    raise RuntimeError(f"could not download {url}") from last_err

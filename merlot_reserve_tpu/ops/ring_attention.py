@@ -355,6 +355,12 @@ def ring_flash_attention_rdma(q, k, v, is_valid, segment_ids,
     Arguments are LOCAL shards under shard_map, same contract as
     ``ring_attention``. interpret=True runs the TPU interpret mode (CPU
     tests simulate the RDMA semantics faithfully, incl. semaphores).
+
+    VALIDATION STATUS: interpret-mode/CPU-mesh tested ONLY (this dev
+    environment has one chip, no ICI). Real inter-chip DMA semantics —
+    hardware semaphores, backpressure, send/recv ordering — have never
+    executed. Prefer ``ring_flash_attention`` (lax.ppermute hops, fully
+    exercised) until this kernel has run on a real multi-chip slice.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

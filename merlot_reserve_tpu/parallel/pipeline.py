@@ -14,8 +14,10 @@ which XLA overlaps with the next tick's compute on ICI.
 Everything is ``lax.scan``/``ppermute``, so the pipeline is exactly
 reverse-differentiable: the backward pass is the same pipeline run in
 reverse (ppermute transposes to the inverted permutation), and parameter
-gradients come out stacked ``[num_layers, ...]`` and sharded over ``pp`` —
-ZeRO-free memory scaling for deep stacks.
+gradients come out stacked ``[num_layers, ...]`` and sharded over ``pp``.
+PARAM memory therefore scales 1/S with the stage count; activation memory
+does not (each stage keeps its scan-carried microbatch activations live
+through backward unless ``remat=True``).
 
 Efficiency notes (correctness first, tiny-shape dryrun second):
   * bubble fraction = (S-1)/(M+S-1) for S stages and M microbatches — pick

@@ -6,6 +6,12 @@ fabric/googleapiclient so it runs in minimal images.
 
 All actions support dry_run=True (print the commands) for testing without a
 GCP project.
+
+CAVEAT (validation status): this module is dry-run-tested only
+(tests/test_utils.py) — the gcloud/ssh/scp subprocess paths have never
+executed against a real GCP project from this environment. Treat the
+command construction as reviewed-but-unexercised and smoke-test on a real
+project before relying on it for fleet operations.
 """
 
 from __future__ import annotations
@@ -98,6 +104,30 @@ class TPUCreator:
             command = f"nohup bash -lc {shlex.quote(command)} > train.log 2>&1 &"
         return self._gcloud("ssh", self.name, f"--command={command}",
                             "--worker=all")
+
+    # Dependency provisioning (the reference's tpu_startup_script.sh:1-16
+    # equivalent): pip deps for THIS framework + the TCMALLOC large-alloc
+    # report threshold. Run once per fresh TPU-VM before launch_training.
+    STARTUP_DEPS = (
+        'pip install "jax[tpu]" '
+        "-f https://storage.googleapis.com/jax-releases/libtpu_releases.html",
+        "pip install --upgrade flax optax orbax-checkpoint chex einops "
+        "tokenizers pillow numpy pyyaml requests",
+        # optional extras (tracking + cloud IO); failures are non-fatal
+        "pip install --upgrade wandb google-cloud-storage || true",
+        # 32 GiB, matching tpu_startup_script.sh:16
+        "grep -q TCMALLOC_LARGE_ALLOC_REPORT_THRESHOLD ~/.bashrc || "
+        "echo 'export TCMALLOC_LARGE_ALLOC_REPORT_THRESHOLD=34359738368' "
+        ">> ~/.bashrc",
+    )
+
+    def install_dependencies(self):
+        """Provision every worker with the framework's runtime deps
+        (tpu_startup_script.sh equivalent; reference tpu_run.py:118-167
+        rsyncs code then runs its startup script — here push_code +
+        install_dependencies are the two halves)."""
+        command = " && ".join(self.STARTUP_DEPS)
+        return self.run_on_all_workers(command, detach=False)
 
     def launch_training(self, config: str = "configs/base.yaml",
                         remote_dir: str = "~/merlot_reserve_tpu",

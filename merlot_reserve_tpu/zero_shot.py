@@ -87,8 +87,12 @@ def verb_noun_action_accuracy(logits: np.ndarray, labels: np.ndarray,
 
 
 def question_to_statement(question: str, answer_slot: str = "<|MASK|>") -> str:
-    """Heuristic question->statement rewrite for mask infilling (the offline
-    GPT-3 rewrite in qa_to_infill.py is better; this covers common wh-forms)."""
+    """Heuristic question->statement rewrite for mask infilling.
+
+    WARNING: the reference produced its MSRVTT-QA numbers with offline
+    GPT-3 rewrites (qa_to_infill.py); this 5-template fallback is NOT
+    comparable — accuracy measured through it will differ from published
+    MSRVTT-QA results. Supply your own rewrites for benchmark parity."""
     q = question.strip().rstrip("?").lower()
     for prefix, template in [
         ("what is ", "{rest} is " + answer_slot),

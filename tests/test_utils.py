@@ -16,11 +16,15 @@ def test_tpu_creator_dry_run():
     tpu.create()
     assert tpu.wait_until_ready()
     tpu.push_code("/root/repo")
+    tpu.install_dependencies()
     tpu.launch_training("configs/base.yaml", extra_args="-train_fns 'x*'")
     tpu.delete()
     cmds = tpu.issued_commands
     assert any("create" in c and "v5litepod-16" in c for c in cmds)
     assert any("scp" in c and "--worker=all" in c for c in cmds)
+    # provisioning (tpu_startup_script.sh equivalent) runs on all workers
+    assert any("jax[tpu]" in c and "--worker=all" in c for c in cmds)
+    assert any("TCMALLOC_LARGE_ALLOC_REPORT_THRESHOLD" in c for c in cmds)
     assert any("scripts/pretrain.py" in c for c in cmds)
     assert any("delete" in c for c in cmds)
 
