@@ -41,6 +41,11 @@ _FLASH_BLOCK_Q = 512
 _FLASH_BLOCK_K = 1024
 _NEG_INF = -1e10
 
+# test hook: force Pallas interpret mode for every attention() call so CPU
+# suites can exercise forced-flash model configs (joint_attention_impl)
+# end to end without mosaic
+_FORCE_INTERPRET = False
+
 
 def _on_tpu() -> bool:
     try:
@@ -144,7 +149,12 @@ def _flash_kernel(qlab_ref, klab_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _pad_for_blocks(q, k, v, is_valid, segment_ids, block: int):
-    """Pad L to a block multiple; padded positions marked invalid."""
+    """Pad L to a block multiple; padded positions marked invalid.
+
+    ``block`` must be the LCM of the q/k block sizes — padding to
+    max(block_q, block_k) silently leaves trailing rows unprocessed whenever
+    the larger block doesn't contain a whole number of the smaller
+    (e.g. bq=512, bk=640: Lp=640 but the q grid covers only 512 rows)."""
     B, L, H, D = q.shape
     Lp = int(np.ceil(L / block) * block)
     pad = Lp - L
@@ -192,14 +202,15 @@ def _flash_forward(q, k, v, is_valid, segment_ids, block_q=128, block_k=128,
     B, L, H, D = q.shape
     scale = float(1.0 / np.sqrt(D))
     cross = k_is_valid is not None
+    block_lcm = int(np.lcm(block_q, block_k))
     if cross:
         q, _, _, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
-            q, q, q, is_valid, segment_ids, max(block_q, block_k))
+            q, q, q, is_valid, segment_ids, block_lcm)
         k, v, _, k_is_valid, k_segment_ids, _, _ = _pad_for_blocks(
-            k, v, v, k_is_valid, k_segment_ids, max(block_q, block_k))
+            k, v, v, k_is_valid, k_segment_ids, block_lcm)
     else:
         q, k, v, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
-            q, k, v, is_valid, segment_ids, max(block_q, block_k))
+            q, k, v, is_valid, segment_ids, block_lcm)
         k_is_valid, k_segment_ids = is_valid, segment_ids
 
     from jax.experimental.pallas import tpu as pltpu
@@ -353,7 +364,7 @@ def _flash_bwd_rule(block_q, block_k, interpret, residuals, g):
                        out.astype(jnp.float32))[:, :, None, :]
 
     q, k, v, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
-        q, k, v, is_valid, segment_ids, max(block_q, block_k))
+        q, k, v, is_valid, segment_ids, int(np.lcm(block_q, block_k)))
     g_p = jnp.pad(g, [(0, 0), (0, pad), (0, 0), (0, 0)]) if pad else g
     delta = jnp.pad(delta, [(0, 0), (0, 0), (0, 0), (0, pad)]) if pad else delta
 
@@ -411,10 +422,33 @@ def _flash_bwd_rule(block_q, block_k, interpret, residuals, g):
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+def _parse_flash_impl(impl: str):
+    """'flash' or 'flash:BQ:BK' -> (block_q or None, block_k or None)."""
+    parts = impl.split(":")
+    if len(parts) == 1:
+        return None, None
+    assert len(parts) == 3, f"attention impl '{impl}' — want flash[:BQ:BK]"
+    return int(parts[1]), int(parts[2])
+
+
+def _auto_block(Lp: int, cap: int) -> int:
+    """Largest multiple of 128 that divides ``Lp`` and fits ``cap`` — keeps
+    the tuned long-context defaults while staying grid-exact at lengths the
+    defaults don't divide (e.g. L=640 -> 128, not 512)."""
+    best = 128
+    b = 128
+    while b <= min(cap, Lp):
+        if Lp % b == 0:
+            best = b
+        b += 128
+    return best
+
+
 def resolve_impl(seq_len: int, impl: str = "auto", has_bias: bool = False,
                  has_labels: bool = False) -> str:
     """Resolve the 'auto' attention policy once (e.g. at encoder level so the
-    mask bias can be hoisted out of the layer loop/scan)."""
+    mask bias can be hoisted out of the layer loop/scan). Non-auto strings
+    ('xla', 'flash', 'flash:BQ:BK') pass through."""
     if impl != "auto":
         return impl
     if has_bias or not has_labels:
@@ -427,9 +461,11 @@ def attention(q, k, v, *, is_valid=None, segment_ids=None, bias=None, impl: str 
     """Unified attention entry point.
 
     Per-position labels (is_valid, segment_ids) are the fast path; a dense
-    ``bias`` forces the XLA path.
+    ``bias`` forces the XLA path. ``impl='flash:BQ:BK'`` pins the kernel
+    block sizes (production tuning knob; bare 'flash' auto-picks).
     """
     L = q.shape[-3]
+    interpret = interpret or _FORCE_INTERPRET
     if impl == "auto":
         can_flash = (
             bias is None
@@ -439,14 +475,20 @@ def attention(q, k, v, *, is_valid=None, segment_ids=None, bias=None, impl: str 
         )
         impl = "flash" if can_flash else "xla"
 
-    if impl == "flash":
+    if impl.startswith("flash"):
+        assert bias is None, (
+            "flash attention consumes per-position labels, not a dense bias "
+            "— pass is_valid/segment_ids or use impl='xla'")
         B = q.shape[0]
         if is_valid is None:
             is_valid = jnp.ones((B, L), jnp.int32)
         if segment_ids is None:
             segment_ids = jnp.zeros((B, L), jnp.int32)
-        bq = min(_FLASH_BLOCK_Q, max(L, 128))
-        bk = min(_FLASH_BLOCK_K, max(L, 128))
+        bq, bk = _parse_flash_impl(impl)
+        if bq is None:
+            Lp = int(np.ceil(L / 128) * 128)
+            bq = _auto_block(Lp, _FLASH_BLOCK_Q)
+            bk = _auto_block(Lp, _FLASH_BLOCK_K)
         return flash_attention(q, k, v, is_valid, segment_ids, bq, bk, interpret)
 
     if bias is None and (is_valid is not None or segment_ids is not None):

@@ -23,11 +23,14 @@ def main():
     unroll = "--unroll" in args
     scan_unroll = 1
     config_name = "base"
+    joint_attn = None  # e.g. --joint_attn=flash:128:128
     for a in args:
         if a.startswith("--scan_unroll="):
             scan_unroll = int(a.split("=")[1])
         if a.startswith("--config="):
             config_name = a.split("=")[1]
+        if a.startswith("--joint_attn="):
+            joint_attn = a.split("=", 1)[1]
     batch_sizes = [int(a) for a in args if not a.startswith("--")] or [1, 2]
     n_chain = int(os.environ.get("BENCH_CHAIN", "8"))
 
@@ -45,7 +48,8 @@ def main():
     from merlot_reserve_tpu.utils.profiling import device_peak_flops
 
     cfg = mr.load_config(config_name, gradient_checkpoint=remat,
-                         scan_layers=not unroll, scan_unroll=scan_unroll)
+                         scan_layers=not unroll, scan_unroll=scan_unroll,
+                         joint_attention_impl=joint_attn)
     n_spans = cfg.data.num_text_spans_to_include
 
     pre = MerlotReservePretrainer.from_config(cfg)
@@ -109,7 +113,7 @@ def main():
             "per_chip_batch": bsz, "step_ms": round(step_s * 1e3, 1),
             "config": config_name,
             "remat": remat, "scan_layers": not unroll,
-            "scan_unroll": scan_unroll,
+            "scan_unroll": scan_unroll, "joint_attn": joint_attn,
             "mfu": round(mfu, 4) if mfu else None,
             "loss_probe": loss, "chain": n_chain,
         }), flush=True)

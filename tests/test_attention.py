@@ -83,3 +83,88 @@ def test_reference_attention_parity(reference_modeling, qkv):
     out_ref = reference_modeling.apply_attention(qkv_cat, None, bias)
     out_mine = xla_attention(q, k, v, make_attention_bias(is_valid=valid))
     np.testing.assert_allclose(np.asarray(out_mine), np.asarray(out_ref), atol=2e-5)
+
+
+def test_flash_mixed_block_sizes_grid_exact():
+    """Regression: bq != bk with Lp = max(bq, bk) left trailing q rows
+    unprocessed (the grid covered only Lp//bq * bq rows). Padding must use
+    lcm(bq, bk). This is exactly the L=640, bq=512, bk=640 shape the
+    flagship joint transformer would hit with the old tuned defaults."""
+    rng = np.random.RandomState(1)
+    B, L, H, D = 1, 40, 2, 16
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    valid = jnp.ones((B, L), bool)
+    segs = jnp.zeros((B, L), jnp.int32)
+    out_xla = xla_attention(q, k, v, make_attention_bias(is_valid=valid))
+    for bq, bk in [(16, 40), (40, 16), (16, 24), (8, 40)]:
+        out = flash_attention(q, k, v, valid, segs, bq, bk, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_xla),
+                                   atol=1e-5, err_msg=f"bq={bq} bk={bk}")
+
+
+def test_attention_impl_string_blocks():
+    """'flash:BQ:BK' impl strings parse and run; auto block picker divides."""
+    from merlot_reserve_tpu.ops.attention import _auto_block, attention
+
+    assert _auto_block(640, 512) == 128
+    assert _auto_block(640, 1024) == 640
+    assert _auto_block(8192, 512) == 512
+    assert _auto_block(8192, 1024) == 1024
+    assert _auto_block(768, 512) == 384
+
+    rng = np.random.RandomState(2)
+    B, L, H, D = 1, 32, 2, 16
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    valid = jnp.ones((B, L), bool)
+    out = attention(q, k, v, is_valid=valid, impl="flash:16:16", interpret=True)
+    ref = attention(q, k, v, is_valid=valid, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_joint_flash_impl_matches_xla_end_to_end():
+    """joint_attention_impl='flash:BQ:BK' swaps the joint transformer onto
+    the Pallas kernel (interpret mode here): full 4-stream pretrainer loss
+    AND grads must match the XLA path — the memory-headroom training
+    configuration is numerically free."""
+    import merlot_reserve_tpu as mr
+    import merlot_reserve_tpu.ops.attention as attn_ops
+    from merlot_reserve_tpu.data.dummy import make_dummy_batch
+    from merlot_reserve_tpu.models import MerlotReservePretrainer
+    from merlot_reserve_tpu.models.pretrainer import loss_fn_given_preds
+
+    def build(joint_impl):
+        cfg = mr.load_config(
+            "base", hidden_size=64, joint_num_layers=2, vit_num_layers=2,
+            audio_num_layers=2, span_num_layers=2, size_per_head=32,
+            output_grid=(4, 4), use_bfloat16=False,
+            joint_attention_impl=joint_impl)
+        return cfg.replace_data(num_segments=4, num_segment_groups=2,
+                                seq_len=80, lang_seq_len=40,
+                                num_text_spans_to_include=8)
+
+    cfg = build(None)
+    model = MerlotReservePretrainer.from_config(cfg)
+    batch = make_dummy_batch(cfg, batch_size=2, seed=0, num_text_spans=16)
+    params = model.init_params(batch)
+    bd = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def loss_fn(m):
+        return lambda p: loss_fn_given_preds(m.apply({"params": p}, bd))[0]
+
+    l_ref, g_ref = jax.value_and_grad(loss_fn(model))(params)
+
+    flash_model = MerlotReservePretrainer.from_config(build("flash:16:16"))
+    attn_ops._FORCE_INTERPRET = True
+    try:
+        l_fl, g_fl = jax.value_and_grad(loss_fn(flash_model))(params)
+    finally:
+        attn_ops._FORCE_INTERPRET = False
+
+    assert abs(float(l_ref) - float(l_fl)) < 1e-4, (l_ref, l_fl)
+    worst = max(jax.tree_util.tree_leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), g_ref, g_fl)))
+    assert worst < 2e-3, worst
