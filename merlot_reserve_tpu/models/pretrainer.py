@@ -1,19 +1,30 @@
 """Pretraining objective: three symmetric InfoNCE heads over one fused
 joint-transformer call.
 
-Behavior matches /root/reference/pretrain/pretrain_model.py:8-303 with one
-structural difference: the reference runs under pmap and explicitly
-``lax.all_gather``s contrastive targets across the 'batch' axis
-(pretrain_model.py:290) to build the global-negative denominator. Here the
-trainer is a single jit over a device mesh, so ``x`` and ``y`` are *global*
-arrays; the einsum ``x @ y_all^T`` against the full target set makes XLA
-insert the all-gather over the dp axis on ICI automatically, with the same
-semantics (every chip sees the full global batch of negatives).
+Capability-parity surface: /root/reference/pretrain/pretrain_model.py:8-303
+(numerical parity is pinned by tests/test_pretrainer_parity.py). The
+implementation is organized as four named stages, each with its own design
+rationale:
 
-The four token streams (audio2text, audio_text_matching, text2audio,
-random_text) are still concatenated into ONE joint-transformer call
-(pretrain_model.py:140-151) — a single big MXU-friendly batch instead of four
-small ones.
+  1. ``encode_towers``     — every frame / audio subsegment / token stream
+                             encoded exactly once, batched for the MXU;
+  2. ``fuse_streams``      — the four task streams concatenated into ONE
+                             joint-transformer call;
+  3. ``pool_*_targets``    — contrastive (x, y) pairs pooled out of the
+                             joint outputs;
+  4. ``contrastive_heads`` — learned temperatures + unit normalization.
+
+Two structural differences from the reference by design:
+
+  * The trainer is a single jit over a device mesh (no pmap), so stage-4
+    outputs are *global* arrays; the loss's ``x @ y^T`` against the full
+    target set makes XLA insert the all-gather over the dp axis on ICI
+    automatically — the same global-negative denominator the reference
+    builds with an explicit ``lax.all_gather(y, 'batch')``
+    (pretrain_model.py:290), without hand-placed collectives.
+  * Attention masking is carried as per-position (is_valid, segment_ids)
+    labels end to end (see models/model.py), so stream packing works on
+    both the XLA and the Pallas flash attention paths.
 """
 
 from __future__ import annotations
@@ -29,226 +40,354 @@ from merlot_reserve_tpu.models.model import MerlotReserve
 from merlot_reserve_tpu.ops.pooling import one_hot_pool, unit_normalize
 from merlot_reserve_tpu.tokenizer import LTOVPOOL, MASK, MASKAUDIO, PADDING
 
+# multimodal spans are preferred 4:1 over text-only spans when drawing
+# contrastive span targets (pretrain_model.py:216)
+_MULTIMODAL_PREFERENCE = float(np.log(4))
+
+# pseudo-video ids offset far past any real video_src_index so a split can
+# never collide with another packed video's id (pretrain_model.py:30-33)
+_SPLIT_ID_STRIDE = 4
+
 
 class MerlotReservePretrainer(MerlotReserve):
-    def _augment_video_src_idx(self, video_src_idx, prng_key):
-        """With prob ~0.1 split a packed video's segments into two pseudo-videos
-        (offset +4L) so short-clip attention patterns appear in training
-        (pretrain_model.py:9-36)."""
+    """The 4-stream contrastive pretrainer head over the MerlotReserve towers."""
+
+    # ------------------------------------------------------------------
+    # stage 1: modality towers
+    # ------------------------------------------------------------------
+
+    def encode_towers(self, batch: Dict[str, jnp.ndarray]):
+        """Run each modality tower exactly once over the whole batch.
+
+        Frames ([B*segments] through the ViT) and audio subsegments
+        ([B*segments*3] through the audio tower) are encoded in single
+        batched calls — large MXU-friendly matmuls instead of per-stream
+        re-encodes — and all five token streams share one fused embedding
+        lookup. Returns the tower outputs plus the flattened token streams
+        every later stage consumes.
+        """
+        data = self.data
+        B, num_segments_nvpatch0, patch_dim = batch["images"].shape
+        patches_per_frame = self.output_grid_h * self.output_grid_w
+        num_segments = num_segments_nvpatch0 // patches_per_frame
+        segs_per_group = num_segments // data.num_segment_groups
+
+        vision = self.vision_encoder(batch["images"].reshape(
+            (B * num_segments, patches_per_frame, patch_dim)))
+        pooled_per_frame = patches_per_frame // (self.config.vit_pooling_ratio ** 2)
+        # frames regrouped by segment group: each group's frames form the
+        # vision context its token streams attend over
+        frames_by_group = vision["seq_attnpool"].reshape(
+            [B, data.num_segment_groups, segs_per_group * pooled_per_frame,
+             self.hidden_size])
+
+        audio = self.audio_encoder(batch["audio_clips"].reshape(
+            (B * num_segments * data.num_audio_subsegments,
+             self.audio_seq_length, -1)))
+        num_audio_spans = num_segments * data.num_audio_subsegments
+        audio_span_tokens = audio["seq_attnpool"].reshape(
+            [B, num_audio_spans, self.audio_token_length, self.hidden_size])
+        audio_span_cls = audio["cls"].reshape([B, num_audio_spans, self.hidden_size])
+
+        # flatten the [B, n_seqs, L(,3)] token streams to [rows, L] — the
+        # row axis is what the joint transformer batches over
+        flat = dict(batch)
+        for stream in ("text2audio", "audio2text"):
+            for suffix in ("", "/audio_ptr", "/text_ptr"):
+                flat[stream + suffix] = flat[stream + suffix].reshape(
+                    (-1, data.lang_seq_len))
+        for key in ("random_text", "random_text/text_ptr",
+                    "audio_text_matching", "audio_text_matching/audio_ptr"):
+            flat[key] = flat[key].reshape((-1, data.seq_len))
+        flat["text_spans"] = flat["text_spans"].reshape(
+            (-1, self.config.text_span_length))
+        flat["video_src_index"] = flat["video_src_index"].reshape(
+            -1, segs_per_group)
+
+        token_embs = self.token_encoder(
+            {k: flat[k] for k in ("text2audio", "audio2text",
+                                  "audio_text_matching", "text_spans",
+                                  "random_text")})
+
+        return {
+            "batch_size": B,
+            "num_segments": num_segments,
+            "segs_per_group": segs_per_group,
+            "num_audio_spans": num_audio_spans,
+            "vision_cls": vision["cls"],
+            "frames_by_group": frames_by_group,
+            "audio_span_tokens": audio_span_tokens,
+            "audio_span_cls": audio_span_cls,
+            "token_embs": token_embs,
+            "flat": flat,
+        }
+
+    # ------------------------------------------------------------------
+    # stage 2: stream fusion
+    # ------------------------------------------------------------------
+
+    def _split_packed_videos(self, video_src_idx, key):
+        """Data augmentation: with prob ~0.1 split a packed video's segments
+        into two pseudo-videos (ids offset past any real id) so short-clip
+        attention patterns appear during training (pretrain_model.py:9-36)."""
         B, L = video_src_idx.shape
         if L == 1:
             return video_src_idx
         split_prob = 0.1
         probs = [split_prob / (L - 1)] * (L - 1) + [1.0 - split_prob]
-        split_from_here = 1 + jax.random.choice(prng_key, a=L, shape=[B], p=np.array(probs))
-        split_mask = split_from_here[:, None] <= jnp.arange(L)[None]
-        return lax.select(split_mask, video_src_idx + 4 * L, video_src_idx)
+        split_at = 1 + jax.random.choice(key, a=L, shape=[B], p=np.array(probs))
+        is_tail = split_at[:, None] <= jnp.arange(L)[None]
+        return lax.select(is_tail, video_src_idx + _SPLIT_ID_STRIDE * L,
+                          video_src_idx)
 
-    def __call__(self, batch: Dict[str, jnp.ndarray]):
+    def content_keys(self, towers):
+        """Content-derived PRNG: deterministic per batch, no threading of a
+        host rng through the input pipeline (pretrain_model.py:96-97).
+        Returns 3 keys: packed-video splits for the two vision streams, and
+        the span-target Gumbel draw."""
+        content_key = towers["flat"]["audio2text/text_ptr"].astype(
+            jnp.uint32).sum()[None].repeat(2)
+        return jax.random.split(content_key, num=3)
+
+    def fuse_streams(self, towers, aug_keys):
+        """Assemble the four task streams and run them through ONE joint
+        call.
+
+        Concatenating audio2text + audio_text_matching + text2audio +
+        random_text along the row axis gives the joint transformer a single
+        big batch (pretrain_model.py:140-151 does the same): one compiled
+        attention/MLP schedule, full MXU tiles, and one set of collectives
+        under sharding — instead of four skinny calls.
+        """
         data = self.data
-        num_segment_groups = data.num_segment_groups
-        num_audio_subsegments = data.num_audio_subsegments
-        lang_seq_len = data.lang_seq_len
-        seq_len = data.seq_len
-        text_span_length = self.config.text_span_length
+        flat = towers["flat"]
+        B = towers["batch_size"]
+        segs_per_group = towers["segs_per_group"]
+        frames = towers["frames_by_group"]
+        vis_len = frames.shape[-2]
 
-        batch_size, num_segments_nvpatch0, pp3 = batch["images"].shape
-        nvpatch0 = self.output_grid_h * self.output_grid_w
-        num_segments = num_segments_nvpatch0 // nvpatch0
-        num_segments_per_group = num_segments // num_segment_groups
-
-        # ---- encode every frame once, every audio subsegment once ----
-        imgs_enc = self.vision_encoder(
-            batch["images"].reshape((batch_size * num_segments, nvpatch0, pp3)))
-        nvpatch1 = nvpatch0 // (self.config.vit_pooling_ratio ** 2)
-        imgs_seq = imgs_enc["seq_attnpool"].reshape(
-            [batch_size, num_segment_groups, num_segments_per_group * nvpatch1,
-             self.hidden_size])
-        vis_seq_length = imgs_seq.shape[-2]
-
-        audio_enc = self.audio_encoder(batch["audio_clips"].reshape(
-            (batch_size * num_segments * num_audio_subsegments, self.audio_seq_length, -1)))
-        num_audio_spans = num_segments * num_audio_subsegments
-        audio_seq = audio_enc["seq_attnpool"].reshape(
-            [batch_size, num_audio_spans, self.audio_token_length, self.hidden_size])
-        audio_cls = audio_enc["cls"].reshape([batch_size, num_audio_spans, self.hidden_size])
-
-        # ---- flatten the token streams ----
-        batch = dict(batch)
-        for k1 in ["text2audio", "audio2text"]:
-            for k2 in ["", "/audio_ptr", "/text_ptr"]:
-                batch[k1 + k2] = batch[k1 + k2].reshape((-1, lang_seq_len))
-        for k in ["random_text", "random_text/text_ptr", "audio_text_matching",
-                  "audio_text_matching/audio_ptr"]:
-            batch[k] = batch[k].reshape((-1, seq_len))
-        batch["text_spans"] = batch["text_spans"].reshape((-1, text_span_length))
-
-        txt_embs = self.token_encoder(
-            {k: batch[k] for k in ["text2audio", "audio2text", "audio_text_matching",
-                                   "text_spans", "random_text"]})
-
-        batch["video_src_index"] = batch["video_src_index"].reshape(-1, num_segments_per_group)
-
-        # content-derived PRNG (pretrain_model.py:96-97): deterministic per batch
-        prng_0 = batch["audio2text/text_ptr"].astype(jnp.uint32).sum()[None].repeat(2)
-        prngs = jax.random.split(prng_0, num=3)
-
-        num_audio2text_seqs = data.num_audio2text_seqs
-        num_text2audio_seqs = data.num_text2audio_seqs
-
-        def group_src_idx(n_seqs, prng):
+        def packed_ids(n_seqs, key):
             tiled = jnp.tile(
-                batch["video_src_index"].reshape(batch_size, num_segment_groups,
-                                                 num_segments_per_group),
-                [1, n_seqs, 1]).reshape(-1, num_segments_per_group)
-            return self._augment_video_src_idx(tiled, prng)
+                flat["video_src_index"].reshape(B, data.num_segment_groups,
+                                                segs_per_group),
+                [1, n_seqs, 1]).reshape(-1, segs_per_group)
+            return self._split_packed_videos(tiled, key)
 
-        mm_inputs = {}
-        mm_inputs["audio2text"] = self.prepare_multimodal_inputs(
-            tokens=batch["audio2text"],
-            token_segment_idx=(batch["audio2text/audio_ptr"] // num_audio_subsegments)
-            % num_segments_per_group,
-            token_embs=txt_embs["audio2text"],
-            vision_input=jnp.tile(imgs_seq, [1, num_audio2text_seqs, 1, 1]).reshape(
-                -1, vis_seq_length, self.hidden_size),
-            audio_spans=audio_seq.repeat(num_segment_groups * num_audio2text_seqs, axis=0),
-            audio_pointers=batch["audio2text/audio_ptr"],
-            padding_len=seq_len,
-            video_src_idx=group_src_idx(num_audio2text_seqs, prngs[0]),
+        token_embs = towers["token_embs"]
+        streams = {}
+        streams["audio2text"] = self.prepare_multimodal_inputs(
+            tokens=flat["audio2text"],
+            token_segment_idx=(flat["audio2text/audio_ptr"]
+                               // data.num_audio_subsegments) % segs_per_group,
+            token_embs=token_embs["audio2text"],
+            vision_input=jnp.tile(frames, [1, data.num_audio2text_seqs, 1, 1]
+                                  ).reshape(-1, vis_len, self.hidden_size),
+            audio_spans=towers["audio_span_tokens"].repeat(
+                data.num_segment_groups * data.num_audio2text_seqs, axis=0),
+            audio_pointers=flat["audio2text/audio_ptr"],
+            padding_len=data.seq_len,
+            video_src_idx=packed_ids(data.num_audio2text_seqs, aug_keys[0]),
         )
-        mm_inputs["audio_text_matching"] = self.prepare_multimodal_inputs(
-            tokens=batch["audio_text_matching"],
+        streams["audio_text_matching"] = self.prepare_multimodal_inputs(
+            tokens=flat["audio_text_matching"],
             token_segment_idx=jnp.cumsum(
-                (batch["audio_text_matching"] == LTOVPOOL).astype(jnp.int32), -1),
-            token_embs=txt_embs["audio_text_matching"],
-            audio_spans=audio_seq,
-            audio_pointers=batch["audio_text_matching/audio_ptr"],
-            padding_len=seq_len,
+                (flat["audio_text_matching"] == LTOVPOOL).astype(jnp.int32), -1),
+            token_embs=token_embs["audio_text_matching"],
+            audio_spans=towers["audio_span_tokens"],
+            audio_pointers=flat["audio_text_matching/audio_ptr"],
+            padding_len=data.seq_len,
         )
-        mm_inputs["text2audio"] = self.prepare_multimodal_inputs(
-            tokens=batch["text2audio"],
-            token_segment_idx=(batch["text2audio/audio_ptr"] // num_audio_subsegments)
-            % num_segments_per_group,
-            token_embs=txt_embs["text2audio"],
-            vision_input=jnp.tile(imgs_seq, [1, num_text2audio_seqs, 1, 1]).reshape(
-                -1, vis_seq_length, self.hidden_size),
-            audio_pointers=batch["text2audio/audio_ptr"],
-            padding_len=seq_len,
-            video_src_idx=group_src_idx(num_text2audio_seqs, prngs[1]),
+        streams["text2audio"] = self.prepare_multimodal_inputs(
+            tokens=flat["text2audio"],
+            token_segment_idx=(flat["text2audio/audio_ptr"]
+                               // data.num_audio_subsegments) % segs_per_group,
+            token_embs=token_embs["text2audio"],
+            vision_input=jnp.tile(frames, [1, data.num_text2audio_seqs, 1, 1]
+                                  ).reshape(-1, vis_len, self.hidden_size),
+            audio_pointers=flat["text2audio/audio_ptr"],
+            padding_len=data.seq_len,
+            video_src_idx=packed_ids(data.num_text2audio_seqs, aug_keys[1]),
         )
-        mm_inputs["random_text"] = self.prepare_multimodal_inputs(
-            tokens=batch["random_text"], padding_len=seq_len)
+        streams["random_text"] = self.prepare_multimodal_inputs(
+            tokens=flat["random_text"], padding_len=data.seq_len)
 
-        # ---- ONE joint transformer call over all four streams ----
-        keys = sorted(mm_inputs.keys())
-        x = jnp.concatenate([mm_inputs[k]["x"] for k in keys], 0)
-        coords = jnp.concatenate([mm_inputs[k]["rotary_coords"] for k in keys], 0)
-        is_valid = jnp.concatenate([mm_inputs[k]["is_valid"] for k in keys], 0)
-        segment_ids = jnp.concatenate([mm_inputs[k]["segment_ids"] for k in keys], 0)
-        real_bsizes = [mm_inputs[k]["x"].shape[0] for k in keys]
+        order = sorted(streams.keys())
+        fused = self.joint_transformer(
+            jnp.concatenate([streams[k]["x"] for k in order], 0),
+            rotary_coords=(jnp.concatenate(
+                [streams[k]["rotary_coords"] for k in order], 0)
+                if self.config.do_rotary else None),
+            is_valid=jnp.concatenate([streams[k]["is_valid"] for k in order], 0),
+            segment_ids=jnp.concatenate(
+                [streams[k]["segment_ids"] for k in order], 0))["seq"]
+        fused = self.joint_proj(fused)
 
-        joint_enc = self.joint_transformer(
-            x,
-            rotary_coords=coords if self.config.do_rotary else None,
-            is_valid=is_valid,
-            segment_ids=segment_ids)["seq"]
-        joint_enc = self.joint_proj(joint_enc)
-        mm_outputs = {k: z for k, z in zip(keys, jnp.split(joint_enc, np.cumsum(real_bsizes),
-                                                           axis=0))}
-        mm_outputs["text2audio"] = mm_outputs["text2audio"][:, :lang_seq_len]
-        mm_outputs["audio2text"] = mm_outputs["audio2text"][:, :lang_seq_len]
+        rows_per_stream = [streams[k]["x"].shape[0] for k in order]
+        outputs = dict(zip(order, jnp.split(fused, np.cumsum(rows_per_stream),
+                                            axis=0)))
+        # language positions only for the two span-target streams
+        outputs["text2audio"] = outputs["text2audio"][:, :data.lang_seq_len]
+        outputs["audio2text"] = outputs["audio2text"][:, :data.lang_seq_len]
+        return outputs
 
-        # ---- pool targets (pretrain_model.py:157-236) ----
-        # imgs <-> audio: pool at LTOVPOOL vs vision CLS
-        is_pool = batch["audio_text_matching"] == LTOVPOOL
-        v2a_idx = jnp.cumsum(is_pool.astype(jnp.int32), -1) - 1
-        a2v = one_hot_pool(is_pool, idx=v2a_idx, v=mm_outputs["audio_text_matching"],
-                           num_segments=num_segments)["x"].reshape(
-            (batch_size * num_segments, self.hidden_size))
+    # ------------------------------------------------------------------
+    # stage 3: target pooling
+    # ------------------------------------------------------------------
 
-        # text -> audio: pool at MASKAUDIO by audio_ptr; top-k to the spans that
-        # were actually masked, leftover audio CLS become extra negatives
-        t2a_sel = one_hot_pool(
-            do_pool=batch["text2audio"] == MASKAUDIO,
-            idx=batch["text2audio/audio_ptr"],
-            v=mm_outputs["text2audio"],
+    def pool_matching_targets(self, towers, stream_out):
+        """imgs <-> audio head inputs: the joint state at each LTOVPOOL
+        token (one per segment) against that segment's vision CLS
+        (pretrain_model.py:160-166)."""
+        flat = towers["flat"]
+        at_pool_token = flat["audio_text_matching"] == LTOVPOOL
+        segment_slot = jnp.cumsum(at_pool_token.astype(jnp.int32), -1) - 1
+        pooled = one_hot_pool(
+            at_pool_token, idx=segment_slot,
+            v=stream_out["audio_text_matching"],
+            num_segments=towers["num_segments"])["x"]
+        return pooled.reshape(
+            (towers["batch_size"] * towers["num_segments"], self.hidden_size))
+
+    def pool_audio_span_targets(self, towers, stream_out):
+        """text -> audio head inputs.
+
+        Joint states pool at MASKAUDIO positions into their audio-span slot;
+        of the num_audio_spans slots only the actually-masked ones carry
+        signal, so the masked slots are ranked first and the top
+        ``mask_rate`` fraction become (x, y) pairs against their audio CLS —
+        while every *unmasked* span's CLS still joins the denominator as an
+        extra negative (pretrain_model.py:170-190)."""
+        data = self.data
+        flat = towers["flat"]
+        B = towers["batch_size"]
+        num_audio_spans = towers["num_audio_spans"]
+
+        pooled = one_hot_pool(
+            do_pool=flat["text2audio"] == MASKAUDIO,
+            idx=flat["text2audio/audio_ptr"],
+            v=stream_out["text2audio"],
             num_segments=num_audio_spans,
-            real_bsize=batch_size,
+            real_bsize=B,
         )
-        num_audio_spans_trg = int(num_audio_spans * data.mask_rate) * num_text2audio_seqs
-        is_selected = t2a_sel["idx_oh"].sum(1)
-        idx_sort = jnp.argsort(-is_selected, -1)
+        num_targets = int(num_audio_spans * data.mask_rate) * data.num_text2audio_seqs
+        times_masked = pooled["idx_oh"].sum(1)
+        masked_first = jnp.argsort(-times_masked, -1)
 
-        best_idxs = idx_sort[:, :num_audio_spans_trg].reshape(batch_size * num_audio_spans_trg)
-        batch_indexer = jnp.arange(batch_size).repeat(num_audio_spans_trg)
-        t2a_x = t2a_sel["x"][batch_indexer, best_idxs]
-        a2t_y = audio_cls[batch_indexer, best_idxs]
+        target_slots = masked_first[:, :num_targets].reshape(B * num_targets)
+        target_rows = jnp.arange(B).repeat(num_targets)
+        masked_states = pooled["x"][target_rows, target_slots]
+        masked_audio_cls = towers["audio_span_cls"][target_rows, target_slots]
 
-        extra_idxs = idx_sort[:, num_audio_spans_trg:].reshape(
-            batch_size * (num_audio_spans - num_audio_spans_trg))
-        batch_indexer = jnp.arange(batch_size).repeat(num_audio_spans - num_audio_spans_trg)
-        a2t_extra = audio_cls[batch_indexer, extra_idxs]
+        negative_slots = masked_first[:, num_targets:].reshape(
+            B * (num_audio_spans - num_targets))
+        negative_rows = jnp.arange(B).repeat(num_audio_spans - num_targets)
+        negative_audio_cls = towers["audio_span_cls"][negative_rows, negative_slots]
+        return masked_states, masked_audio_cls, negative_audio_cls
 
-        # stuff -> span: sum pooled MASK positions from the 3 text streams
-        num_text_spans = txt_embs["text_spans"].shape[0] // batch_size
-        t2sp = {}
-        for k in ["audio2text", "text2audio", "random_text"]:
-            t2sp[k] = one_hot_pool(
-                batch[k] == MASK,
-                idx=batch[f"{k}/text_ptr"],
-                v=mm_outputs[k],
-                num_segments=num_text_spans,
-                real_bsize=batch_size,
+    def pool_text_span_targets(self, towers, stream_out, select_key):
+        """stuff -> span head inputs.
+
+        MASK-position joint states from the three text streams sum into
+        per-span slots (a span masked in several streams accumulates all of
+        them); valid slots are drawn by Gumbel top-k across the WHOLE
+        per-device batch with multimodal spans preferred 4:1, and the drawn
+        spans' raw tokens go through the span tower as the target side
+        (pretrain_model.py:196-236). Also returns each drawn span's source
+        stream for the per-source diagnostic losses."""
+        data = self.data
+        flat = towers["flat"]
+        B = towers["batch_size"]
+        spans_per_example = towers["token_embs"]["text_spans"].shape[0] // B
+
+        pools = {}
+        for stream in ("audio2text", "text2audio", "random_text"):
+            pools[stream] = one_hot_pool(
+                flat[stream] == MASK,
+                idx=flat[f"{stream}/text_ptr"],
+                v=stream_out[stream],
+                num_segments=spans_per_example,
+                real_bsize=B,
             )
-            t2sp[k]["count"] = t2sp[k].pop("idx_oh").sum(1)
-        t2sp_sel = t2sp["text2audio"]["x"] + t2sp["audio2text"]["x"] + t2sp["random_text"]["x"]
-        t2sp_ct = t2sp["text2audio"]["count"] + t2sp["audio2text"]["count"] + t2sp["random_text"]["count"]
-        t2sp_src = jnp.stack(
-            [jnp.zeros_like(t2sp["text2audio"]["count"]), t2sp["text2audio"]["count"],
-             t2sp["audio2text"]["count"], t2sp["random_text"]["count"]], -1).argmax(-1) - 1
+            pools[stream]["count"] = pools[stream].pop("idx_oh").sum(1)
 
-        is_valid_span = (batch["text_spans"] != PADDING).any(-1).reshape(
-            batch_size, num_text_spans)
-        is_valid_span &= t2sp_ct > 0.0
-        is_valid_span = is_valid_span.astype(jnp.float32)
+        summed_states = (pools["text2audio"]["x"] + pools["audio2text"]["x"]
+                         + pools["random_text"]["x"])
+        mask_counts = (pools["text2audio"]["count"] + pools["audio2text"]["count"]
+                       + pools["random_text"]["count"])
+        # source id per slot: 0/1/2 = text2audio/audio2text/random_text,
+        # -1 = never masked (argmax over a leading zeros column, shifted)
+        source_id = jnp.stack(
+            [jnp.zeros_like(mask_counts), pools["text2audio"]["count"],
+             pools["audio2text"]["count"], pools["random_text"]["count"]],
+            -1).argmax(-1) - 1
 
-        # Gumbel-top-k without replacement; multimodal spans preferred 4x
-        prefer_multimodal = np.log(4)
-        logits_for_pred = is_valid_span * 1e6 + prefer_multimodal * (
-            t2sp["text2audio"]["count"] + t2sp["audio2text"]["count"])
-        z = -jnp.log(-jnp.log(jax.random.uniform(
-            key=prngs[2], shape=[batch_size, num_text_spans], dtype=jnp.float32,
-            minval=0.0, maxval=1.0)))
-        gumbel_scores = logits_for_pred + z
+        span_usable = (flat["text_spans"] != PADDING).any(-1).reshape(
+            B, spans_per_example)
+        span_usable &= mask_counts > 0.0
+        span_usable = span_usable.astype(jnp.float32)
 
-        num_to_include = data.num_text_spans_to_include
-        assert num_to_include <= num_text_spans
-        best_idxs = lax.top_k(gumbel_scores.reshape(-1), k=num_to_include * batch_size)[1]
+        # Gumbel top-k without replacement over the whole per-device batch
+        selection_logits = span_usable * 1e6 + _MULTIMODAL_PREFERENCE * (
+            pools["text2audio"]["count"] + pools["audio2text"]["count"])
+        gumbel = -jnp.log(-jnp.log(jax.random.uniform(
+            key=select_key, shape=[B, spans_per_example],
+            dtype=jnp.float32, minval=0.0, maxval=1.0)))
 
-        t2sp_x = t2sp_sel.reshape([batch_size * num_text_spans, self.hidden_size])[best_idxs]
-        t2sp_source = t2sp_src.reshape([batch_size * num_text_spans])[best_idxs]
-        sp2t_y = self.span_encoder(
-            x=txt_embs["text_spans"][best_idxs],
-            x_isvalid=batch["text_spans"][best_idxs] != PADDING)
+        num_drawn = data.num_text_spans_to_include
+        assert num_drawn <= spans_per_example
+        drawn = lax.top_k((selection_logits + gumbel).reshape(-1),
+                          k=num_drawn * B)[1]
 
-        # ---- scale + normalize the three heads ----
-        log_scales = jnp.clip(self.scale_params.astype(jnp.float32), max=np.log(100.0))
-        outputs = {
-            "imgs_to_audio": {"x": a2v, "y": imgs_enc["cls"], "log_scale": log_scales[0]},
-            "text_to_audio": {"x": t2a_x, "y": a2t_y, "y_extra": a2t_extra,
-                              "log_scale": log_scales[1]},
-            "stuff_to_span": {"x": t2sp_x, "y": sp2t_y, "log_scale": log_scales[2],
-                              "_sources": t2sp_source},
-        }
-        for k, out_k in outputs.items():
-            temp = jnp.exp(out_k.pop("log_scale") / 2.0)
-            for k2 in ("x", "y", "x_extra", "y_extra"):
-                if k2 in out_k:
-                    v = unit_normalize(out_k[k2]) * temp
+        drawn_states = summed_states.reshape(
+            [B * spans_per_example, self.hidden_size])[drawn]
+        drawn_sources = source_id.reshape([B * spans_per_example])[drawn]
+        span_targets = self.span_encoder(
+            x=towers["token_embs"]["text_spans"][drawn],
+            x_isvalid=flat["text_spans"][drawn] != PADDING)
+        return drawn_states, span_targets, drawn_sources
+
+    # ------------------------------------------------------------------
+    # stage 4: heads
+    # ------------------------------------------------------------------
+
+    def contrastive_heads(self, head_inputs):
+        """Apply the three learned temperatures (clipped at log 100, split
+        exp(s/2) onto both sides) and unit-normalize, casting bf16 on TPU so
+        the loss's global gather moves half the bytes
+        (pretrain_model.py:239-258)."""
+        log_scales = jnp.clip(self.scale_params.astype(jnp.float32),
+                              max=np.log(100.0))
+        scale_slot = {"imgs_to_audio": 0, "text_to_audio": 1,
+                      "stuff_to_span": 2}
+        for name, head in head_inputs.items():
+            temp = jnp.exp(log_scales[scale_slot[name]] / 2.0)
+            for side in ("x", "y", "x_extra", "y_extra"):
+                if side in head:
+                    v = unit_normalize(head[side]) * temp
                     if self.config.use_bfloat16:
                         v = v.astype(jnp.bfloat16)
-                    out_k[k2] = v
-        return outputs
+                    head[side] = v
+        return head_inputs
+
+    # ------------------------------------------------------------------
+
+    def __call__(self, batch: Dict[str, jnp.ndarray]):
+        towers = self.encode_towers(batch)
+        aug_keys = self.content_keys(towers)
+        stream_out = self.fuse_streams(towers, aug_keys)
+
+        seg_states = self.pool_matching_targets(towers, stream_out)
+        t2a_x, t2a_y, t2a_negatives = self.pool_audio_span_targets(
+            towers, stream_out)
+        span_x, span_y, span_sources = self.pool_text_span_targets(
+            towers, stream_out, aug_keys[2])
+
+        return self.contrastive_heads({
+            "imgs_to_audio": {"x": seg_states, "y": towers["vision_cls"]},
+            "text_to_audio": {"x": t2a_x, "y": t2a_y, "y_extra": t2a_negatives},
+            "stuff_to_span": {"x": span_x, "y": span_y,
+                              "_sources": span_sources},
+        })
 
 
 def loss_fn_given_preds(preds: Dict) -> tuple:
