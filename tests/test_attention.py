@@ -125,6 +125,7 @@ def test_attention_impl_string_blocks():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_joint_flash_impl_matches_xla_end_to_end():
     """joint_attention_impl='flash:BQ:BK' swaps the joint transformer onto
     the Pallas kernel (interpret mode here): full 4-stream pretrainer loss

@@ -283,3 +283,9 @@ def test_stack_unstack_roundtrip_through_file(tiny, tmp_path):
     restored = ckpt_lib.load_checkpoint(path)["params"]
     rt = ckpt_lib.unstack_layer_params(ckpt_lib.stack_layer_params(restored))
     _assert_trees_equal(rt, _f16_roundtrip(params), "roundtrip")
+
+
+import pytest  # noqa: E402
+
+# heavy tier: full-model / multi-device / subprocess tests
+pytestmark = pytest.mark.slow

@@ -69,3 +69,9 @@ def test_dp2_tp2_matches_single_device(setup, cpu_devices):
                        make_mesh(dp=2, tp=2, devices=cpu_devices[:4]), True)
     for k in m1:
         assert abs(float(m1[k]) - float(mtp[k])) < 1e-4, (k, m1[k], mtp[k])
+
+
+import pytest  # noqa: E402
+
+# heavy tier: full-model / multi-device / subprocess tests
+pytestmark = pytest.mark.slow

@@ -55,6 +55,7 @@ def test_multi_tracker(tmp_path):
         assert recs[0]["x"] == 2.0
 
 
+@pytest.mark.slow
 def test_run_pretraining_writes_run_dir(tmp_path):
     """End-to-end: the pretraining loop produces a run dir with config +
     metrics without any tracker arg."""

@@ -127,3 +127,9 @@ def test_tvqa_train_step_with_accumulation(tvqa_file, cfg):
 
     preds = jax.jit(tvqa_pred_step)(state, bd)
     assert preds["preds_joint"].shape == (2,)
+
+
+import pytest  # noqa: E402
+
+# heavy tier: full-model / multi-device / subprocess tests
+pytestmark = pytest.mark.slow

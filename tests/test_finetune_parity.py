@@ -217,3 +217,9 @@ def test_tvqa_logits_parity(reference_modeling):
     a_ref, t_ref = ref.apply({"params": params}, bd)
     np.testing.assert_allclose(np.asarray(a_mine), np.asarray(a_ref), atol=ATOL)
     np.testing.assert_allclose(np.asarray(t_mine), np.asarray(t_ref), atol=ATOL)
+
+
+import pytest  # noqa: E402
+
+# heavy tier: full-model / multi-device / subprocess tests
+pytestmark = pytest.mark.slow

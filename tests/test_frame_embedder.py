@@ -31,6 +31,7 @@ def _count_learnable(params):
     return total
 
 
+@pytest.mark.slow
 def test_features_param_count_matches_torchvision():
     """torchvision mobilenet_v2(width=1.0): features trunk = 2,223,872
     params, +1000-way classifier = 3,504,872 (published model card)."""

@@ -222,6 +222,7 @@ def test_full_chain_vmaps_and_jits():
         assert (t0[b][v0[b]][:, 0] == MASK).sum() == n_masked_g0
 
 
+@pytest.mark.slow
 def test_masked_stream_feeds_model_in_one_jit():
     """End-to-end in-graph composition: raw tokens -> device masking ->
     [L, 3] stream -> prepare_multimodal_inputs -> joint transformer, all
@@ -311,6 +312,7 @@ def test_fake_segments_short_row_tail_not_truncated():
         assert l_sel >= min(L_target, Lmax) - 15
 
 
+@pytest.mark.slow
 def test_mask_tokens_budgeted_invariants():
     rng_np = np.random.default_rng(5)
     vals, lens = _random_ragged(rng_np, n_rows=12, max_len=8)

@@ -203,6 +203,7 @@ def _two_outcomes(one_dir_fn, r, **kw):
     return a, b
 
 
+@pytest.mark.slow
 def test_reassign_empty_tokens_parity(ref_dl, tf):
     """The decorated reference fn is a fair coin between two deterministic
     compositions; every reference draw must equal one of OUR two outcomes,
@@ -236,6 +237,7 @@ def test_reassign_empty_tokens_parity(ref_dl, tf):
     assert checked_distinct >= 2, "inputs never produced distinct outcomes"
 
 
+@pytest.mark.slow
 def test_increase_textmask_parity(ref_dl, tf):
     rng = np.random.default_rng(5)
     # crafted case: 2-token donor row 2 contested by masked rows 1 and 3

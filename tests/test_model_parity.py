@@ -132,3 +132,9 @@ def test_scan_model_matches_reference(models_and_params, reference_modeling):
     out_ref = ref.apply({"params": params}, *args, method=ref.embed_video)
     np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_ref),
                                atol=ATOL)
+
+
+import pytest  # noqa: E402
+
+# heavy tier: full-model / multi-device / subprocess tests
+pytestmark = pytest.mark.slow

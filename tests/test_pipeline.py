@@ -146,3 +146,9 @@ def test_train_step_dp2_sp2_matches_dp2(cpu_devices):
                    make_mesh(dp=2, sp=2, devices=cpu_devices[:4]))
     for k in base:
         assert abs(base[k] - sp[k]) < 1e-4, (k, base[k], sp[k])
+
+
+import pytest  # noqa: E402
+
+# heavy tier: full-model / multi-device / subprocess tests
+pytestmark = pytest.mark.slow

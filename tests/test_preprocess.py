@@ -67,6 +67,7 @@ def test_preprocess_video_mixed(segments):
     assert text_len > 0
 
 
+@pytest.mark.slow
 def test_zero_shot_slice_end_to_end(segments):
     """segments -> preprocess_video -> embed_video -> label-space ranking,
     entirely through the public API (tiny model, CPU)."""

@@ -96,6 +96,7 @@ def test_masked_spans_match_table(corpus, cfg):
         assert len(span) == 0 or np.isin(span, all_tokens).all()
 
 
+@pytest.mark.slow
 def test_collate_and_train_step(corpus, cfg):
     import jax
     import jax.numpy as jnp

@@ -99,3 +99,9 @@ def test_loss_parity(setup, ref_pretrain):
 
     loss_ref = float(ref_loss(preds_ref_b)[0])
     assert abs(float(loss_mine) - loss_ref) < 1e-3, (float(loss_mine), loss_ref)
+
+
+import pytest  # noqa: E402
+
+# heavy tier: full-model / multi-device / subprocess tests
+pytestmark = pytest.mark.slow

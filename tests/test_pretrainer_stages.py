@@ -185,3 +185,9 @@ def test_contrastive_heads_normalize_and_scale(setup):
     # diagnostics pass through untouched
     np.testing.assert_array_equal(np.asarray(out["stuff_to_span"]["_sources"]),
                                   np.zeros(4))
+
+
+import pytest  # noqa: E402
+
+# heavy tier: full-model / multi-device / subprocess tests
+pytestmark = pytest.mark.slow

@@ -48,3 +48,9 @@ def test_same_params_across_grids():
         assert np.isfinite(np.asarray(out_big)).all()
         norms = np.linalg.norm(np.asarray(out_big, np.float32), axis=-1)
         np.testing.assert_allclose(norms[:16], 1.0, atol=1e-2)
+
+
+import pytest  # noqa: E402
+
+# heavy tier: full-model / multi-device / subprocess tests
+pytestmark = pytest.mark.slow

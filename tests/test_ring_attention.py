@@ -44,6 +44,7 @@ def test_ring_no_mask(sp_mesh):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_is_differentiable(sp_mesh):
     rng = np.random.RandomState(2)
     B, L, H, D = 1, 32, 2, 8

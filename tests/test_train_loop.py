@@ -271,3 +271,9 @@ def test_evaluate_loss_sp_pp_mesh():
                          num_batches=2, mesh=mesh_sppp)
     for k in ref:
         assert abs(ref[k] - info[k]) < 1e-4, (k, ref[k], info[k])
+
+
+import pytest  # noqa: E402
+
+# heavy tier: full-model / multi-device / subprocess tests
+pytestmark = pytest.mark.slow
