@@ -109,6 +109,11 @@ class PretrainLoader:
         segments = parse_segment_record(record, self.cfg.data.num_segments)
         return self._builder.build(segments, rng)
 
+    def _collate(self, examples):
+        """Batch assembly hook (DevicePretrainLoader overrides this to run
+        the on-device example builder instead)."""
+        return collate_batch(examples, use_bfloat16=self.use_bfloat16)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """Yield collated batches; decode+mask runs on a worker pool ahead of
         consumption (the prefetch_to_device role moves to the trainer, which
@@ -169,8 +174,7 @@ class PretrainLoader:
                             continue
                         batch_examples.append(ex)
                         if len(batch_examples) == self.batch_size:
-                            batch = collate_batch(
-                                batch_examples, use_bfloat16=self.use_bfloat16)
+                            batch = self._collate(batch_examples)
                             # the batch "consumed" its skips too, so the
                             # resume position stays a raw-record count
                             if not put_or_stop(
@@ -198,12 +202,64 @@ class PretrainLoader:
             stop.set()
 
 
+class DevicePretrainLoader(PretrainLoader):
+    """PretrainLoader with example assembly moved onto the accelerator.
+
+    Worker threads only decode bytes (JPEG frames/spectrograms, protobuf
+    fields -> fixed-shape arrays via DeviceExampleBuilder.host_prepare); the
+    masking/placement/collation runs as ONE jit per batch on device
+    (data/device_builder.py). Masks are drawn from a jax PRNG keyed by
+    (seed, batch_counter) — deterministic given the seed, and fresh every
+    epoch with zero host CPU cost. On resume the counter restarts, so the
+    mask DRAWS differ from the uninterrupted run while the record sequence
+    stays exact (the reference re-seeds everything on restart,
+    dataloader.py:922-924)."""
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        from merlot_reserve_tpu.data.device_builder import DeviceExampleBuilder
+
+        self._dev_builder = DeviceExampleBuilder(self.cfg)
+        self._batch_counter = 0
+
+    def _build_one(self, record_rng):
+        record, rng = record_rng
+        segments = parse_segment_record(record, self.cfg.data.num_segments)
+        raw = self._dev_builder.host_prepare(segments)
+        images = np.stack([self._builder.decode_image(s, rng)
+                           for s in segments])
+        return raw, images
+
+    def _collate(self, examples):
+        import jax
+        import jax.numpy as jnp
+
+        from merlot_reserve_tpu.data.device_builder import stack_raw_examples
+
+        raws = [r for r, _ in examples]
+        images = np.stack([im for _, im in examples])
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                 self._batch_counter)
+        self._batch_counter += 1
+        raw_batch = jax.tree.map(jnp.asarray, stack_raw_examples(raws))
+        batch = dict(self._dev_builder.build_batch(key, raw_batch))
+        B = images.shape[0]
+        imgs = images.reshape(B, -1, images.shape[-1]).astype(np.float32)
+        if self.use_bfloat16:
+            imgs = imgs.astype(jnp.bfloat16)
+        batch["images"] = imgs
+        return batch
+
+
 def input_fn_builder(cfg: MerlotConfig, file_paths: List[str],
                      host_index: int = 0, num_hosts: int = 1,
-                     seed: Optional[int] = None, **kw) -> PretrainLoader:
+                     seed: Optional[int] = None, on_device: bool = False,
+                     **kw) -> PretrainLoader:
     """Reference-shaped constructor (dataloader.py:906-960): global batch is
-    divided by num_hosts; each host reads its file shard."""
+    divided by num_hosts; each host reads its file shard. ``on_device=True``
+    assembles examples on the accelerator (DevicePretrainLoader)."""
     per_host_batch = cfg.device.batch_size // num_hosts
-    return PretrainLoader(file_paths, cfg, per_host_batch,
-                          host_index=host_index, num_hosts=num_hosts,
-                          seed=seed, **kw)
+    cls = DevicePretrainLoader if on_device else PretrainLoader
+    return cls(file_paths, cfg, per_host_batch,
+               host_index=host_index, num_hosts=num_hosts,
+               seed=seed, **kw)

@@ -26,6 +26,11 @@ def main():
     ap.add_argument("-seed", type=int, default=None)
     ap.add_argument("-distributed", action="store_true",
                     help="call jax.distributed.initialize() first")
+    ap.add_argument("--on_device_data", action="store_true",
+                    help="assemble examples on the accelerator (host "
+                         "workers only decode bytes; masking/placement/"
+                         "collation run as one jit per batch — "
+                         "data/device_builder.py)")
     args = ap.parse_args()
 
     if args.distributed:
@@ -55,7 +60,8 @@ def main():
     loader = input_fn_builder(
         cfg, files,
         host_index=jax.process_index(), num_hosts=jax.process_count(),
-        seed=args.seed, use_bfloat16=cfg.model.use_bfloat16)
+        seed=args.seed, use_bfloat16=cfg.model.use_bfloat16,
+        on_device=args.on_device_data)
 
     def log_fn(step, metrics):
         parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())
