@@ -35,10 +35,19 @@ def param_count(cfg) -> int:
 
 
 def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
-                       zero1_dp: int = 1) -> Dict[str, float]:
+                       zero1_dp: int = 1, pp: int = 1,
+                       flash_joint: bool = False) -> Dict[str, float]:
     """Per-chip HBM estimate (bytes) for one pretraining step.
 
     :param zero1_dp: dp size the Adam moments are ZeRO-1-sharded over.
+    :param pp: pipeline stages — joint-layer params/moments and joint
+        activations shard 1/pp per stage, plus the pipeline's microbatch
+        stream buffers (parallel/pipeline.py).
+    :param flash_joint: joint tower uses the Pallas flash kernels — no
+        materialized attention probabilities in HBM (only the [rows, H, L]
+        log-sum-exp, negligible). Validated point: base batch-4 no-remat
+        needs 31.9G with XLA dense attention (OOM) but RUNS with flash
+        (BASELINE.md round-3 measurement).
     :return: breakdown dict incl. 'total'. Compare against ~15.75e9 usable
         on a v5e (16G minus runtime reserves).
     """
@@ -46,12 +55,19 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
     h = m.hidden_size
     P = param_count(cfg)
 
+    def layer(n):
+        return n * (4 * h * h + 8 * h * h + 8 * h)
+
+    # pipeline shards the joint stack's params/moments over stages
+    pp = max(pp, 1)
+    P_eff = P - layer(m.joint_num_layers) * (1 - 1.0 / pp)
+
     # persistent train state: f32 params + bf16 Adam mu/nu (cube-root nu is
     # still 2 bytes). Moments shard over dp under ZeRO-1.
-    state = 4 * P + (2 * P + 2 * P) / max(zero1_dp, 1)
+    state = 4 * P_eff + (2 * P_eff + 2 * P_eff) / max(zero1_dp, 1)
 
     # step transients: bf16 param cast, bf16 grads, f32 grad upcast
-    step_transients = 2 * P + 2 * P + 4 * P
+    step_transients = 2 * P_eff + 2 * P_eff + 4 * P_eff
 
     # activations saved for backward (bf16). Per transformer layer the
     # backward needs ~6 seq-major tensors (x, ln(x), qkv, attn out, mlp
@@ -59,39 +75,59 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
     # probabilities rows * heads * S * S on the XLA path.
     heads = h // m.size_per_head
 
-    def tower_act(rows, seq, layers):
+    def tower_act(rows, seq, layers, flash=False):
         # ~10 seq-major bf16 tensors per layer + the materialized attention
-        # probabilities, which XLA keeps f32 on the softmax path
-        per_layer = 2 * (10 * rows * seq * h) + 4 * (rows * heads * seq * seq)
+        # probabilities, which XLA keeps f32 on the softmax path (absent
+        # entirely on the flash path). Returned separately: the probs
+        # allocations carry their own softmax-temp overhead coefficient.
+        probs = 0.0 if flash else 4 * (rows * heads * seq * seq)
+        per_layer = 2 * (10 * rows * seq * h)
         if remat:
             # only layer inputs are kept; everything else recomputed
             per_layer = 2 * (2 * rows * seq * h)
-        return per_layer * layers
+            probs = 0.0
+        return per_layer * layers, probs * layers
 
     B = batch_size
     act = 0.0
-    act += tower_act(B * d.num_segments, m.vit_seq_len + 1, m.vit_num_layers)
-    act += tower_act(B * d.num_segments * d.num_audio_subsegments,
-                     m.audio_seq_length // m.audio_patch_size + 1,
-                     m.audio_num_layers)
-    act += tower_act(B * d.num_text_spans_to_include, m.text_span_length + 1,
-                     m.span_num_layers)
+    probs_act = 0.0
+
+    def add(t):
+        nonlocal act, probs_act
+        act += t[0]
+        probs_act += t[1]
+
+    add(tower_act(B * d.num_segments, m.vit_seq_len + 1, m.vit_num_layers))
+    add(tower_act(B * d.num_segments * d.num_audio_subsegments,
+                  m.audio_seq_length // m.audio_patch_size + 1,
+                  m.audio_num_layers))
+    add(tower_act(B * d.num_text_spans_to_include, m.text_span_length + 1,
+                  m.span_num_layers))
     joint_rows = B * (d.num_segment_groups * (d.num_audio2text_seqs
                                               + d.num_text2audio_seqs)
                       + 1 + d.num_text_seqs)
-    act += tower_act(joint_rows, d.seq_len, m.joint_num_layers)
+    add(tower_act(joint_rows, d.seq_len, m.joint_num_layers // pp,
+                  flash=flash_joint))
+    if pp > 1:
+        # pipeline stream buffers: x_mb + outputs + carried state, each
+        # [M, rows/M, L, H] bf16 per stage (dp-sharded rows)
+        act += 3 * 2 * joint_rows * d.seq_len * h
 
-    # XLA temporaries / fragmentation / stream-concat copies. Calibrated on
-    # five measured v5e points (BASELINE.md): base b1 scan fits, b2 scan
-    # 16.28G OOM, b4 31.9G OOM, b4 remat fits, large b1 remat 18.28G OOM —
-    # 1.35 classifies all five correctly; point estimates are ±25%.
-    overhead = 1.35
-    total = (state + step_transients + act) * overhead
+    # Per-term overheads (XLA temporaries / fragmentation / stream-concat
+    # copies), calibrated on six measured v5e points (BASELINE.md): base b1
+    # scan fits, b2 scan 16.28G OOM, b4 31.9G OOM, b4 remat fits, large b1
+    # remat 18.28G OOM, and (r3) base b4 FLASH fits. The softmax probs
+    # allocations carry their own larger coefficient (f32 temps on the
+    # softmax path); a single global factor cannot classify the flash point.
+    # All six classify correctly; point estimates are +-30%.
+    # (the flash point pins these tightly: it sits ~0.1G under the 15.75G
+    # line, exactly as the real compile barely fits)
+    total = 1.3 * (state + step_transients) + 0.7 * act + 1.9 * probs_act
     return {
         "params": float(P),
         "state_bytes": float(state),
         "step_transient_bytes": float(step_transients),
-        "activation_bytes": float(act),
+        "activation_bytes": float(act + probs_act),
         "total": float(total),
     }
 

@@ -23,12 +23,24 @@ Efficiency notes (correctness first, tiny-shape dryrun second):
   * bubble fraction = (S-1)/(M+S-1) for S stages and M microbatches — pick
     M >= 4*S for production;
   * the fill/drain ticks still execute predicated layer compute (standard
-    GPipe); a zero-bubble schedule is a future upgrade, not a semantics
-    change;
-  * inside the pipeline's shard_map, layer weights are replicated over tp
-    (in_specs shard the layer dim only) — pp composes with dp and sp;
-    combining pp with tp *within a stage* would need tp specs on the
-    per-leaf weight dims as well.
+    GPipe);
+  * On 1F1B (considered for r3, rejected on semantics): interleaving each
+    microbatch's backward behind its forward requires a per-microbatch
+    loss. The pretraining objective's InfoNCE denominator couples EVERY
+    microbatch (global negatives, models/pretrainer.py) — output gradients
+    exist only after the full-batch loss, so the legal schedule is
+    all-forward -> loss -> all-backward regardless of pipeline shape.
+    1F1B's actual benefit at that point is its activation bound
+    (S microbatches live instead of M), and ``remat=True`` already delivers
+    that bound here: only per-tick stage-boundary activations are saved and
+    layers recompute in backward. Workloads with per-example losses
+    (finetune heads) use lax.scan gradient accumulation instead
+    (finetune/train.py), where the same bound holds trivially;
+  * activations shard over dp inside the pipeline region (each dp row
+    pipelines its own batch slice — compute scales with dp); sp sharding is
+    NOT propagated inside the region, and layer weights are replicated over
+    tp (in_specs shard the layer dim only) — combining pp with tp *within a
+    stage* would need tp specs on the per-leaf weight dims as well.
 """
 
 from __future__ import annotations
@@ -65,18 +77,25 @@ def _pvary(x, axis_name):
 def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
                          segment_ids=None, attention_bias=None, *,
                          layer, mesh: Mesh, axis: str = "pp",
+                         dp_axis: str = "dp",
                          num_microbatches: int = 2, remat: bool = False):
     """Apply a stacked transformer layer pytree as a pipeline over ``axis``.
 
     :param stacked_params: pytree with every leaf ``[num_layers, ...]`` (the
         ``scan_layers`` param layout under 'layers', models/layers.py).
     :param x: ``[B, L, H]`` global activations; B must divide by
-        ``num_microbatches``.
+        ``num_microbatches`` (and by ``num_microbatches * dp``).
     :param layer: a ``TransformerLayer``-like flax module template with
         ``scan_format=True`` (its ``apply({'params': p}, x, sin, valid, seg,
         bias)`` returns ``(x, None)``).
     :param mesh: mesh containing ``axis``; ``num_layers`` must divide by its
         size.
+    :param dp_axis: data-parallel mesh axis — each microbatch's batch dim
+        shards over it, so every dp row pipelines only its OWN batch slice
+        (without this, dp rows would all-gather the global batch at the
+        shard_map boundary and redundantly compute all of it — correct but
+        zero compute scaling). sp is NOT propagated inside the pipeline
+        region; activations there shard over dp only.
     :return: ``[B, L, H]`` outputs, numerically identical to applying the
         layers sequentially.
     """
@@ -87,6 +106,10 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
     num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     assert num_layers % S == 0, f"{num_layers} layers over {S} stages"
 
+    dp = dp_axis if dp_axis in mesh.shape else None
+    if dp is not None and (B // M) % mesh.shape[dp] != 0:
+        dp = None  # microbatch not divisible by dp: fall back to replicated
+
     def mb(t):
         return None if t is None else t.reshape((M, B // M) + t.shape[1:])
 
@@ -95,9 +118,11 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
     x_mb = mb(x)
 
     param_specs = jax.tree.map(lambda _: P(axis), stacked_params)
-    arg_specs = tuple(None if a is None else P() for a in mb_args)
+    act_spec = P(None, dp)  # [M, B/M, ...]: batch dim over dp
+    arg_specs = tuple(None if a is None else act_spec for a in mb_args)
     present = [a for a in mb_args if a is not None]
-    in_specs = (param_specs, P()) + tuple(s for s in arg_specs if s is not None)
+    in_specs = (param_specs, act_spec) + tuple(
+        s for s in arg_specs if s is not None)
 
     def stage_fn(params_local, x_mb, *present_args):
         # re-inflate optional args to positional slots
@@ -150,6 +175,6 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
             jnp.where(stage == S - 1, outputs, jnp.zeros_like(outputs)), axis)
         return outputs
 
-    fn = _shard_map(stage_fn, mesh, in_specs, P())
+    fn = _shard_map(stage_fn, mesh, in_specs, act_spec)
     out = fn(stacked_params, x_mb, *present)
     return out.reshape(B, L, H)

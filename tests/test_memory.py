@@ -34,3 +34,20 @@ def test_monotonic_knobs():
     assert e(batch_size=1, zero1_dp=8) < e(batch_size=1, zero1_dp=1)
     b = estimate_train_hbm(base, 1)
     assert b["activation_bytes"] > 0 and b["state_bytes"] > 0
+
+
+def test_flash_and_pp_terms():
+    """Round-3 measured point: base batch-4 no-remat OOMs with XLA dense
+    attention (31.9G) but runs with the flash joint kernels; the planner
+    must classify both. pp shards joint params+activations."""
+    import merlot_reserve_tpu as mr
+    from merlot_reserve_tpu.parallel.memory import estimate_train_hbm, fits_v5e
+
+    cfg = mr.load_config("base")
+    assert not fits_v5e(cfg, 4)
+    flash = estimate_train_hbm(cfg, 4, flash_joint=True)
+    assert flash["total"] <= 15.75e9
+    # pp=2 strictly reduces the estimate at fixed batch
+    e1 = estimate_train_hbm(cfg, 2)["total"]
+    e2 = estimate_train_hbm(cfg, 2, pp=2)["total"]
+    assert e2 < e1
