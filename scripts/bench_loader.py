@@ -69,12 +69,14 @@ def bench_stages(cfg, path, n: int):
 
 
 def bench_loader(cfg, paths, n_batches: int, batch_size: int, workers: int,
-                 use_processes: bool):
-    from merlot_reserve_tpu.data.loader import PretrainLoader
+                 use_processes: bool, on_device: bool = False):
+    from merlot_reserve_tpu.data.loader import (DevicePretrainLoader,
+                                                PretrainLoader)
 
-    loader = PretrainLoader(paths, cfg, batch_size=batch_size, seed=0,
-                            num_workers=workers, prefetch=2,
-                            use_processes=use_processes)
+    cls = DevicePretrainLoader if on_device else PretrainLoader
+    loader = cls(paths, cfg, batch_size=batch_size, seed=0,
+                 num_workers=workers, prefetch=2,
+                 use_processes=use_processes)
     it = iter(loader)
     next(it)  # warm pools/caches
     t0 = time.perf_counter()
@@ -91,6 +93,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--workers", default="1,2,4")
     ap.add_argument("--processes", action="store_true")
+    ap.add_argument("--on-device", action="store_true",
+                    help="DevicePretrainLoader: host workers only decode "
+                         "bytes; example assembly runs on the accelerator")
     args = ap.parse_args()
 
     import merlot_reserve_tpu as mr
@@ -114,12 +119,13 @@ def main():
         chip_need_exps = 12.0  # v5e chip at per-chip batch 2 (BASELINE.md)
         for w in [int(x) for x in args.workers.split(",")]:
             exps = bench_loader(cfg, paths, args.batches, args.batch_size, w,
-                                args.processes)
+                                args.processes, on_device=args.on_device)
             print(json.dumps({
                 "metric": "loader_examples_per_sec",
                 "value": round(exps, 2), "unit": "examples/s",
-                "workers": w, "mode": ("process" if args.processes
-                                       else "thread"),
+                "workers": w, "on_device": args.on_device,
+                "mode": ("process" if args.processes
+                         else "thread"),
                 "segments_per_sec": round(exps * cfg.data.num_segments, 1),
                 "chips_fed_per_worker": round(exps / chip_need_exps / w, 2),
             }), flush=True)
