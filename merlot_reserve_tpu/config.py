@@ -134,7 +134,8 @@ class DataConfig:
     random_scale_min: float = 1.05
     # per-image random resize kernel during training (the reference picks a
     # random TF resize method per image when scale-jittering,
-    # data_utils.py:8-23,110-117); False pins bilinear
+    # data_utils.py:8-23,110-117); False pins bilinear. Both the PIL and the
+    # native fused path implement all six filters (mn_resize_patchify_k).
     random_resize_method: bool = True
 
     fft_hop_length: int = 588

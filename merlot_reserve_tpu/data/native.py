@@ -69,6 +69,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+    if hasattr(lib, "mn_resize_patchify_k"):
+        lib.mn_resize_patchify_k.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float)]
     return lib
 
 
@@ -154,19 +160,32 @@ def decode_jpeg_native(data: bytes, channels: int = 3) -> np.ndarray:
 
 def resize_patchify_native(rgb: np.ndarray, grid, patch: int = 16,
                            scale_mult: float = 1.0, off_y: int = 0,
-                           off_x: int = 0) -> np.ndarray:
+                           off_x: int = 0,
+                           kernel: "int | None" = None) -> np.ndarray:
     """[h, w, 3] uint8 -> [grid_h*grid_w, patch*patch*3] float32 in [0, 1];
-    scale_mult/offsets implement the training random-scale crop."""
+    scale_mult/offsets implement the training random-scale crop.
+
+    ``kernel=None`` uses the fast 2-tap bilinear path; an int selects one of
+    the PIL-parity antialiased filters in pil_resize_methods() order
+    (0=BICUBIC 1=BILINEAR 2=BOX 3=HAMMING 4=LANCZOS 5=NEAREST) — the random
+    resize-method augmentation's native fast path."""
     lib = _load()
     assert lib is not None
     rgb = np.ascontiguousarray(rgb, np.uint8)
     gh, gw = grid
     out = np.empty((gh * gw, patch * patch * 3), np.float32)
-    lib.mn_resize_patchify(
-        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        rgb.shape[0], rgb.shape[1], gh, gw, patch, float(scale_mult),
-        int(off_y), int(off_x),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if kernel is None:
+        lib.mn_resize_patchify(
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rgb.shape[0], rgb.shape[1], gh, gw, patch, float(scale_mult),
+            int(off_y), int(off_x),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    else:
+        lib.mn_resize_patchify_k(
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rgb.shape[0], rgb.shape[1], gh, gw, patch, float(scale_mult),
+            int(off_y), int(off_x), int(kernel),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
 
 

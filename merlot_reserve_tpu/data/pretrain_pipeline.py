@@ -191,27 +191,28 @@ class PretrainExampleBuilder:
 
         from merlot_reserve_tpu.data import native as N
 
-        # NOTE: the native fast path resizes with its vectorized bilinear
-        # kernel only — it does NOT implement the random resize-method
-        # selector (the PIL path below does). Set
-        # data.random_resize_method=False for strict PIL/native parity, or
-        # accept bilinear-only augmentation when the native plane is on.
-        if N.native_available() and not self.cfg.data.random_resize_method:
+        # Native fast path (fused decode+resize+patchify). The random
+        # per-image resize kernel runs natively too: mn_resize_patchify_k
+        # implements all six PIL filters with Pillow's antialiased
+        # coefficient windows (kernel ids = pil_resize_methods() order).
+        # RNG draw order matches the PIL branch (mult, method, off_y, off_x)
+        # so both paths consume the example RNG identically.
+        if N.native_available():
             img = flip_if_vertical(N.decode_jpeg_native(data, channels=3))
             h, w = img.shape[:2]
             dh, dw = grid[0] * 16, grid[1] * 16
             mult = float(rng.uniform(*scale_rng))
+            kernel = 1  # BILINEAR slot in pil_resize_methods()
+            if self.cfg.data.random_resize_method:
+                kernel = int(rng.integers(0, len(pil_resize_methods())))
             sh = int(h * min(dh / h, dw / w) * mult)
             sw = int(w * min(dh / h, dw / w) * mult)
             off_y = int(rng.integers(0, max(sh - dh, 0) + 1))
             off_x = int(rng.integers(0, max(sw - dw, 0) + 1))
             return N.resize_patchify_native(img, grid, scale_mult=mult,
-                                            off_y=off_y, off_x=off_x)
-        if N.native_available():
-            # native JPEG decode + PIL resize (random kernel) + numpy patchify
-            img = flip_if_vertical(N.decode_jpeg_native(data, channels=3))
-        else:
-            img = flip_if_vertical(_decode_jpeg(data, channels=3))
+                                            off_y=off_y, off_x=off_x,
+                                            kernel=kernel)
+        img = flip_if_vertical(_decode_jpeg(data, channels=3))
         return host_image_to_patches(
             img, grid, rng=rng, random_scale=scale_rng,
             random_resize_method=self.cfg.data.random_resize_method)

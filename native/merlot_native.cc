@@ -353,3 +353,180 @@ extern "C" void mn_resize_patchify(const uint8_t* rgb, int h, int w, int grid_h,
 }
 
 
+
+// ---------------------------------------------------------------------------
+// PIL-parity separable resampling (antialiased) + pad + space_to_depth
+// ---------------------------------------------------------------------------
+// The training augmentation draws a random per-image resize kernel
+// (reference: random TF resize method, pretrain/data_utils.py:8-23,110-117;
+// host mirror: data/pretrain_pipeline.pil_resize_methods). This implements
+// the same six filters with Pillow's antialiased coefficient-window
+// algorithm so the fused native path stays available under augmentation.
+// Kernel ids follow pil_resize_methods() order:
+//   0=BICUBIC 1=BILINEAR 2=BOX 3=HAMMING 4=LANCZOS 5=NEAREST
+
+#include <cmath>
+#include <algorithm>
+
+static double mn_filter(int k, double x) {
+  switch (k) {
+    case 0: {  // bicubic (Keys, a = -0.5 — Pillow's BICUBIC)
+      const double a = -0.5;
+      if (x < 0) x = -x;
+      if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+      if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+      return 0.0;
+    }
+    case 1:  // bilinear (triangle)
+      if (x < 0) x = -x;
+      return x < 1.0 ? 1.0 - x : 0.0;
+    case 2:  // box
+      return (x > -0.5 && x <= 0.5) ? 1.0 : 0.0;
+    case 3: {  // hamming-windowed sinc (Pillow)
+      if (x < 0) x = -x;
+      if (x == 0.0) return 1.0;
+      if (x >= 1.0) return 0.0;
+      x = x * M_PI;
+      return std::sin(x) / x * (0.54 + 0.46 * std::cos(x));
+    }
+    case 4: {  // lanczos3
+      if (x < 0) x = -x;
+      if (x >= 3.0) return 0.0;
+      if (x == 0.0) return 1.0;
+      const double px = M_PI * x, px3 = px / 3.0;
+      return (std::sin(px) / px) * (std::sin(px3) / px3);
+    }
+  }
+  return 0.0;
+}
+
+static double mn_support(int k) {
+  switch (k) {
+    case 0: return 2.0;
+    case 1: return 1.0;
+    case 2: return 0.5;
+    case 3: return 1.0;
+    case 4: return 3.0;
+  }
+  return 1.0;
+}
+
+// Pillow-style coefficient windows for output pixels
+// [out_lo, out_lo + out_n) of a full in_size -> out_size resize.
+struct MnCoeffs {
+  std::vector<int> xmin, xlen;
+  std::vector<double> w;  // packed with max_len stride
+  int max_len = 0;
+};
+
+static void mn_precompute(int k, int in_size, int out_size, int out_lo,
+                          int out_n, MnCoeffs* c) {
+  const double ratio = (double)in_size / out_size;
+  const double filterscale = ratio > 1.0 ? ratio : 1.0;
+  const double support = mn_support(k) * filterscale;
+  c->max_len = (int)std::ceil(support) * 2 + 2;
+  c->xmin.resize(out_n);
+  c->xlen.resize(out_n);
+  c->w.assign((size_t)out_n * c->max_len, 0.0);
+  for (int i = 0; i < out_n; ++i) {
+    const int xx = out_lo + i;
+    const double center = (xx + 0.5) * ratio;
+    double* ww = &c->w[(size_t)i * c->max_len];
+    if (k == 5) {  // nearest: single tap at the sample point
+      int x0 = (int)center;
+      if (x0 >= in_size) x0 = in_size - 1;
+      if (x0 < 0) x0 = 0;
+      c->xmin[i] = x0;
+      c->xlen[i] = 1;
+      ww[0] = 1.0;
+      continue;
+    }
+    int xmn = (int)(center - support + 0.5);
+    if (xmn < 0) xmn = 0;
+    int xmx = (int)(center + support + 0.5);
+    if (xmx > in_size) xmx = in_size;
+    double total = 0.0;
+    for (int x = xmn; x < xmx; ++x) {
+      const double v = mn_filter(k, (x - center + 0.5) / filterscale);
+      ww[x - xmn] = v;
+      total += v;
+    }
+    if (total != 0.0)
+      for (int x = 0; x < xmx - xmn; ++x) ww[x] /= total;
+    c->xmin[i] = xmn;
+    c->xlen[i] = xmx - xmn;
+  }
+}
+
+extern "C" void mn_resize_patchify_k(const uint8_t* rgb, int h, int w,
+                                     int grid_h, int grid_w, int patch,
+                                     double scale_mult, int off_y, int off_x,
+                                     int kernel, float* out) {
+  const int dh = grid_h * patch, dw = grid_w * patch;
+  const double scale = std::min((double)dh / h, (double)dw / w) * scale_mult;
+  const int sh_full = (int)(h * scale), sw_full = (int)(w * scale);
+  const int sh = std::min(sh_full - off_y, dh);
+  const int sw = std::min(sw_full - off_x, dw);
+  const size_t out_elems = (size_t)grid_h * grid_w * patch * patch * 3;
+  std::memset(out, 0, out_elems * sizeof(float));
+  if (sh <= 0 || sw <= 0 || sh_full <= 0 || sw_full <= 0) return;
+
+  MnCoeffs cx, cy;
+  mn_precompute(kernel, w, sw_full, off_x, sw, &cx);
+  mn_precompute(kernel, h, sh_full, off_y, sh, &cy);
+
+  int y_lo = h, y_hi = 0;
+  for (int i = 0; i < sh; ++i) {
+    y_lo = std::min(y_lo, cy.xmin[i]);
+    y_hi = std::max(y_hi, cy.xmin[i] + cy.xlen[i]);
+  }
+
+  // pass 1: horizontal resample of the needed source rows
+  const int rows = y_hi - y_lo;
+  std::vector<float> tmp((size_t)rows * sw * 3);
+  for (int r = 0; r < rows; ++r) {
+    const uint8_t* src = rgb + (size_t)(y_lo + r) * w * 3;
+    float* dst = &tmp[(size_t)r * sw * 3];
+    for (int i = 0; i < sw; ++i) {
+      const double* ww = &cx.w[(size_t)i * cx.max_len];
+      const uint8_t* p = src + cx.xmin[i] * 3;
+      double a0 = 0, a1 = 0, a2 = 0;
+      for (int t = 0; t < cx.xlen[i]; ++t, p += 3) {
+        a0 += ww[t] * p[0];
+        a1 += ww[t] * p[1];
+        a2 += ww[t] * p[2];
+      }
+      dst[i * 3 + 0] = (float)a0;
+      dst[i * 3 + 1] = (float)a1;
+      dst[i * 3 + 2] = (float)a2;
+    }
+  }
+
+  // pass 2: vertical + 1/255 + clamp + space_to_depth patchify
+  constexpr float kInv255 = 1.0f / 255.0f;
+  for (int y = 0; y < sh; ++y) {
+    const double* wy = &cy.w[(size_t)y * cy.max_len];
+    const int r0 = cy.xmin[y] - y_lo, n = cy.xlen[y];
+    const int gy = y / patch, py = y % patch;
+    float* dst_row = out + ((size_t)gy * grid_w * patch * patch +
+                            (size_t)py * patch) * 3;
+    for (int x = 0; x < sw; ++x) {
+      double a0 = 0, a1 = 0, a2 = 0;
+      for (int t = 0; t < n; ++t) {
+        const float* p = &tmp[((size_t)(r0 + t) * sw + x) * 3];
+        a0 += wy[t] * p[0];
+        a1 += wy[t] * p[1];
+        a2 += wy[t] * p[2];
+      }
+      const int gx = x / patch, px = x % patch;
+      float* dst = dst_row + ((size_t)gx * patch * patch + px) * 3;
+      const auto cl = [](double v) {
+        v *= (double)kInv255;
+        return (float)(v < 0.0 ? 0.0 : (v > 1.0 ? 1.0 : v));
+      };
+      dst[0] = cl(a0);
+      dst[1] = cl(a1);
+      dst[2] = cl(a2);
+    }
+  }
+}

@@ -85,3 +85,63 @@ def test_native_faster_than_python(corpus):
         N.NativeExample(rec)
     t_nat = time.perf_counter() - t0
     assert t_nat < t_py, (t_nat, t_py)
+
+
+def test_native_kernel_resize_matches_pil():
+    """mn_resize_patchify_k vs PIL for every filter: the native antialiased
+    resampler mirrors Pillow's coefficient-window algorithm, so outputs
+    match within uint8 fixed-point rounding (PIL clips per pass)."""
+    from merlot_reserve_tpu.data import native as N
+    from merlot_reserve_tpu.data.pretrain_pipeline import (
+        host_image_to_patches, pil_resize_methods)
+
+    if not N.native_available():
+        import pytest
+        pytest.skip("native plane unavailable")
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(200, 300, 3)).astype(np.uint8)
+    grid = (6, 8)
+    methods = pil_resize_methods()
+    from PIL import Image
+
+    for kernel, method in enumerate(methods):
+        native = N.resize_patchify_native(img, grid, kernel=kernel)
+        # PIL reference: same geometry as host_image_to_patches eval path
+        dh, dw = grid[0] * 16, grid[1] * 16
+        h, w = img.shape[:2]
+        scale = min(dh / h, dw / w)
+        sh, sw = max(int(h * scale), 1), max(int(w * scale), 1)
+        resized = np.asarray(Image.fromarray(img).resize((sw, sh), method),
+                             np.float32) / 255.0
+        out = np.zeros((dh, dw, 3), np.float32)
+        out[:sh, :sw] = resized
+        ref = out.reshape(grid[0], 16, grid[1], 16, 3).swapaxes(1, 2)
+        ref = ref.reshape(grid[0] * grid[1], 16 * 16 * 3)
+        err = np.abs(native - ref)
+        tol_mean = 0.02 if method == Image.Resampling.NEAREST else 0.01
+        assert err.mean() < tol_mean, (method, err.mean())
+        # bulk agreement even for NEAREST (boundary pixels may pick the
+        # other neighbor at exact half-sample ties)
+        assert (err < 0.05).mean() > 0.95, (method, (err < 0.05).mean())
+
+
+def test_native_kernel_resize_with_crop():
+    """Scale-jitter + crop offsets through the kernel path stay finite,
+    bounded, and deterministic."""
+    from merlot_reserve_tpu.data import native as N
+
+    if not N.native_available():
+        import pytest
+        pytest.skip("native plane unavailable")
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, size=(120, 180, 3)).astype(np.uint8)
+    for kernel in range(6):
+        a = N.resize_patchify_native(img, (4, 4), scale_mult=1.3, off_y=3,
+                                     off_x=5, kernel=kernel)
+        b = N.resize_patchify_native(img, (4, 4), scale_mult=1.3, off_y=3,
+                                     off_x=5, kernel=kernel)
+        assert a.shape == (16, 768)
+        assert 0.0 <= a.min() and a.max() <= 1.0
+        np.testing.assert_array_equal(a, b)
