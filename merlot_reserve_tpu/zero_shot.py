@@ -97,8 +97,13 @@ def question_to_statement(question: str, answer_slot: str = "<|MASK|>") -> str:
     for prefix, template in [
         ("what is ", "{rest} is " + answer_slot),
         ("what are ", "{rest} are " + answer_slot),
+        ("what color is ", "{rest} is " + answer_slot),
+        ("what colour is ", "{rest} is " + answer_slot),
         ("who is ", "{rest} is " + answer_slot),
+        ("who are ", "{rest} are " + answer_slot),
         ("where is ", "{rest} is in " + answer_slot),
+        ("where are ", "{rest} are in " + answer_slot),
+        ("when is ", "{rest} is at " + answer_slot),
         ("how many ", "there are " + answer_slot + " {rest}"),
     ]:
         if q.startswith(prefix):
