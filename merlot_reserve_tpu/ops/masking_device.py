@@ -85,11 +85,16 @@ def reassign_empty_tokens(row_lengths, masked, key):
 
 def _row_min_max(vals, row_lengths, total_length: int):
     """Per-row (min, max) of flat float vals under the CURRENT lengths;
-    empty rows give (+inf, -inf)."""
+    empty rows give (+inf, -inf). Trailing flat-stream padding
+    (sum(row_lengths) < total_length) is routed to a discard bin — repeat's
+    total_repeat_length pads rids with n-1, which would otherwise fold
+    garbage values into the LAST row's extrema."""
     n = row_lengths.shape[0]
     rid = value_rowids(row_lengths, total_length)
-    mins = jax.ops.segment_min(vals, rid, num_segments=n)
-    maxs = jax.ops.segment_max(vals, rid, num_segments=n)
+    in_stream = jnp.arange(total_length) < jnp.sum(row_lengths)
+    rid = jnp.where(in_stream, rid, n)
+    mins = jax.ops.segment_min(vals, rid, num_segments=n + 1)[:n]
+    maxs = jax.ops.segment_max(vals, rid, num_segments=n + 1)[:n]
     empty = row_lengths == 0
     mins = jnp.where(empty, jnp.inf, mins)
     maxs = jnp.where(empty, -jnp.inf, maxs)

@@ -328,3 +328,29 @@ def test_mask_tokens_budgeted_invariants():
         # every group keeps its MASK/MASKAUDIO tokens under the budget
         assert ((t[:, 0] == MASK) | (t[:, 0] == MASKAUDIO)).sum() >= 1
         assert (~v[v.argmin():]).all() or v.all()  # valid prefix layout
+
+
+def test_increase_textmask_ignores_trailing_padding():
+    """Regression: a padded flat stream (sum(row_lengths) < len(vals), the
+    device-builder layout) must widen exactly like the exact-length stream —
+    pad centroids used to pollute the LAST row's min/max (repeat pads rids
+    with n-1), spuriously triggering the widen-right of the row before it."""
+    # masked row 0 looks right at row 1 (length 2, real min 5.0: far from
+    # the 1.0 audio boundary -> NO widen). Pad centroids 1.05 would fake
+    # min 1.05 -> spurious widen pre-fix.
+    lens = np.asarray([1, 2], np.int32)
+    cent = np.asarray([0.0, 5.0, 6.0], np.float32)
+    ase = np.asarray([[0.0, 1.0], [4.9, 7.0]], np.float32)
+    masked = np.asarray([True, False])
+    key = jax.random.PRNGKey(0)
+
+    exact = np.asarray(dev.increase_textmask(
+        jnp.asarray(lens), jnp.asarray(masked), jnp.asarray(cent),
+        jnp.asarray(ase), key))
+    np.testing.assert_array_equal(exact, lens)  # no widening happens
+
+    cent_pad = np.concatenate([cent, np.full(6, 1.05, np.float32)])
+    padded = np.asarray(dev.increase_textmask(
+        jnp.asarray(lens), jnp.asarray(masked), jnp.asarray(cent_pad),
+        jnp.asarray(ase), key))
+    np.testing.assert_array_equal(exact, padded)
