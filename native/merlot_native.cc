@@ -490,43 +490,48 @@ extern "C" void mn_resize_patchify_k(const uint8_t* rgb, int h, int w,
     for (int i = 0; i < sw; ++i) {
       const double* ww = &cx.w[(size_t)i * cx.max_len];
       const uint8_t* p = src + cx.xmin[i] * 3;
-      double a0 = 0, a1 = 0, a2 = 0;
+      float a0 = 0, a1 = 0, a2 = 0;
       for (int t = 0; t < cx.xlen[i]; ++t, p += 3) {
-        a0 += ww[t] * p[0];
-        a1 += ww[t] * p[1];
-        a2 += ww[t] * p[2];
+        const float wt = (float)ww[t];
+        a0 += wt * p[0];
+        a1 += wt * p[1];
+        a2 += wt * p[2];
       }
-      dst[i * 3 + 0] = (float)a0;
-      dst[i * 3 + 1] = (float)a1;
-      dst[i * 3 + 2] = (float)a2;
+      dst[i * 3 + 0] = a0;
+      dst[i * 3 + 1] = a1;
+      dst[i * 3 + 2] = a2;
     }
   }
 
-  // pass 2: vertical + 1/255 + clamp + space_to_depth patchify
+  // pass 2: vertical + 1/255 + clamp + space_to_depth patchify.
+  // Taps-outer / columns-inner: each tap streams one contiguous tmp row
+  // into a row accumulator (vectorizable fma), then one scatter pass
+  // performs the patchify layout write.
   constexpr float kInv255 = 1.0f / 255.0f;
+  std::vector<float> acc((size_t)sw * 3);
   for (int y = 0; y < sh; ++y) {
     const double* wy = &cy.w[(size_t)y * cy.max_len];
     const int r0 = cy.xmin[y] - y_lo, n = cy.xlen[y];
+    std::fill(acc.begin(), acc.end(), 0.0f);
+    for (int t = 0; t < n; ++t) {
+      const float wt = (float)wy[t];
+      const float* p = &tmp[(size_t)(r0 + t) * sw * 3];
+      float* a = acc.data();
+      for (int i = 0; i < sw * 3; ++i) a[i] += wt * p[i];
+    }
     const int gy = y / patch, py = y % patch;
     float* dst_row = out + ((size_t)gy * grid_w * patch * patch +
                             (size_t)py * patch) * 3;
     for (int x = 0; x < sw; ++x) {
-      double a0 = 0, a1 = 0, a2 = 0;
-      for (int t = 0; t < n; ++t) {
-        const float* p = &tmp[((size_t)(r0 + t) * sw + x) * 3];
-        a0 += wy[t] * p[0];
-        a1 += wy[t] * p[1];
-        a2 += wy[t] * p[2];
-      }
       const int gx = x / patch, px = x % patch;
       float* dst = dst_row + ((size_t)gx * patch * patch + px) * 3;
-      const auto cl = [](double v) {
-        v *= (double)kInv255;
-        return (float)(v < 0.0 ? 0.0 : (v > 1.0 ? 1.0 : v));
+      const auto cl = [](float v) {
+        v *= kInv255;
+        return v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
       };
-      dst[0] = cl(a0);
-      dst[1] = cl(a1);
-      dst[2] = cl(a2);
+      dst[0] = cl(acc[x * 3 + 0]);
+      dst[1] = cl(acc[x * 3 + 1]);
+      dst[2] = cl(acc[x * 3 + 2]);
     }
   }
 }
