@@ -53,7 +53,10 @@ def save_checkpoint(state, path: str, keep: Optional[int] = None, overwrite: boo
                     no_optimizer: bool = False):
     """Write a compressed checkpoint (host 0 only). ``state`` may be a
     TrainState or any pytree with a ``step`` attr/key."""
-    step = int(jax.device_get(getattr(state, "step", 0)))
+    if isinstance(state, dict):
+        step = int(jax.device_get(state.get("step", 0) or 0))
+    else:
+        step = int(jax.device_get(getattr(state, "step", 0)))
     if keep is None:
         keep = 100_000_000
 

@@ -289,3 +289,55 @@ import pytest  # noqa: E402
 
 # heavy tier: full-model / multi-device / subprocess tests
 pytestmark = pytest.mark.slow
+
+
+def test_convert_checkpoint_cli_roundtrip(tiny, ref_ckpt, ref_opt, tmp_path):
+    """scripts/convert_checkpoint.py: reference file -> --to-scan file that
+    drives the scan model; --to-layers inverse restores byte-for-byte
+    through the reference reader."""
+    import subprocess
+    import sys
+
+    from flax import jax_utils
+
+    cfg, model, ref_model, params = tiny
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "convert_checkpoint.py")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ref_state = ref_opt.construct_train_state(_ref_opt_config(cfg), ref_model,
+                                              params)
+    ref_ckpt.save_checkpoint(jax_utils.replicate(ref_state), src,
+                             no_optimizer=True)
+
+    scan_dir = str(tmp_path / "scan")
+    proc = subprocess.run(
+        [sys.executable, script, src, scan_dir, "--to-scan"],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-1500:]
+
+    scanned = ckpt_lib.load_checkpoint(scan_dir)["params"]
+    assert "layers" in scanned["joint_transformer"]
+    scan_cfg = mr.load_config("base", hidden_size=64, joint_num_layers=2,
+                              vit_num_layers=2, audio_num_layers=2,
+                              span_num_layers=2, size_per_head=32,
+                              output_grid=(4, 4), use_bfloat16=False,
+                              scan_layers=True)
+    scan_model = MerlotReserve.from_config(scan_cfg)
+    args = _video_args()
+    out_scan = scan_model.apply({"params": scanned}, *args,
+                                method=scan_model.embed_video)
+    out_ref = ref_model.apply({"params": params}, *args,
+                              method=ref_model.embed_video)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_ref),
+                               atol=2e-3)
+
+    # inverse: scan file -> reference layout, restored by the reference
+    back_dir = str(tmp_path / "layers")
+    proc = subprocess.run(
+        [sys.executable, script, scan_dir, back_dir, "--to-layers"],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    raw = ref_ckpt.load_checkpoint(back_dir)
+    _assert_trees_equal(raw["params"], _f16_roundtrip(params), "roundtrip")
