@@ -123,6 +123,12 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
     present = [a for a in mb_args if a is not None]
     in_specs = (param_specs, act_spec) + tuple(
         s for s in arg_specs if s is not None)
+    # Known inefficiency when combining sp with pp: activations arrive
+    # seq-sharded and the shard_map boundary's conversion to the pipeline's
+    # dp-sharded layout makes GSPMD replicate-then-partition ("involuntary
+    # full rematerialization" warning; XLA bug b/433785288, to be fixed by
+    # the Shardy partitioner). Correctness is unaffected; sp+pp layouts pay
+    # one extra activation copy per step until then.
 
     def stage_fn(params_local, x_mb, *present_args):
         # re-inflate optional args to positional slots
