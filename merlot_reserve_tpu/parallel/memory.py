@@ -50,6 +50,11 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
         (BASELINE.md round-3 measurement).
     :return: breakdown dict incl. 'total'. Compare against ~15.75e9 usable
         on a v5e (16G minus runtime reserves).
+
+    Layout caveat: the calibration points are scan_layers=True compiles —
+    the estimate is for the scan layout. Unrolled graphs schedule slightly
+    leaner (measured: base batch-2 unrolled FITS while batch-2 scan OOMs at
+    16.28G), so a borderline "does not fit" verdict may still fit unrolled.
     """
     m, d = cfg.model, cfg.data
     h = m.hidden_size

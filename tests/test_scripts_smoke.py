@@ -17,6 +17,8 @@ SCRIPTS = [
     "scripts/vcr_leaderboard.py",
     "scripts/prep_vcr.py",
     "scripts/prep_tvqa.py",
+    "scripts/plan_memory.py",
+    "scripts/convert_checkpoint.py",
     "demo/demo_video.py",
     "demo/zero_shot_ek100.py",
     "demo/zero_shot_qa.py",
@@ -31,3 +33,15 @@ def test_help(script):
         capture_output=True, text=True, env=env, timeout=120)
     assert out.returncode == 0, out.stderr[-500:]
     assert "usage" in out.stdout.lower()
+
+
+def test_plan_memory_cli():
+    import json
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "plan_memory.py"),
+         "base", "--batch", "4", "--flash-joint"],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["fits"] is True  # the measured flash batch-4 point
