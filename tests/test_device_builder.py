@@ -176,6 +176,7 @@ def test_build_invariants(cfg, builder, raw):
     assert np.isfinite(clips).all()
 
 
+@pytest.mark.slow
 def test_build_deterministic_given_key(builder, raw):
     raw_j = jax.tree.map(jnp.asarray, raw)
     a = jax.jit(builder.build)(jax.random.PRNGKey(5), raw_j)
@@ -224,6 +225,7 @@ def test_build_batch_feeds_train_step(cfg, builder, segments):
         assert np.isfinite(v), (k, v)
 
 
+@pytest.mark.slow
 def test_span_length_distribution_tracks_host(cfg, builder, segments):
     """Distributional parity for the stochastic masking: the text2audio
     span-length histogram from the device builder must track the host
