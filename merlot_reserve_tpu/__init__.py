@@ -11,6 +11,8 @@ This package is a ground-up TPU-first redesign (not a port):
   * one jit/pjit world over an explicit ``jax.sharding.Mesh`` (no pmap),
   * Pallas flash attention with packed block-diagonal segment masking,
   * on-device signal DSP (STFT -> mel -> log) replacing host librosa,
+  * the full pretraining example assembly as one device program
+    (data/device_builder.py) — host workers only decode bytes,
   * sharding-spec'd ZeRO optimizer states instead of hand-rolled
     device_put_sharded,
   * flax-msgpack checkpoint compatibility with gs://merlotreserve/ckpts/*.
