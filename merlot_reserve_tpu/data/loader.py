@@ -2,9 +2,15 @@
 
 The input_fn_builder equivalent (/root/reference/pretrain/dataloader.py:
 864-960) without tf.data: per-host file sharding (i % num_hosts ==
-host_index), epoch-shuffled file cycles, a thread pool decoding/masking
-examples, fixed-size batches, and an exception-swallowing retry loop per
-cycle (the reference's crash-only design, dataloader.py:943-955).
+host_index), epoch-shuffled file CYCLES of ``n_fns_per_cycle`` files whose
+records interleave round-robin across up to ``num_parallel_reads``
+concurrent readers and then pass through a ``shuffle_buffer_size``-record
+shuffle buffer (the decorrelation the reference gets from
+TFRecordDataset(num_parallel_reads) + dataset.shuffle, dataloader.py:
+879-895,934-940 — consecutive batches must not come from one video
+neighborhood or the contrastive negatives correlate), a thread pool
+decoding/masking examples, fixed-size batches, and per-file/per-record
+crash-only error handling (dataloader.py:943-955).
 
 Throughput notes: work per example is JPEG decodes (PIL) + a few hundred
 integers of masking; a pool of workers keeps a v5e chip fed at base-config
@@ -39,7 +45,10 @@ class PretrainLoader:
                  host_index: int = 0, num_hosts: int = 1,
                  seed: Optional[int] = None, num_workers: int = 8,
                  prefetch: int = 4, use_bfloat16: bool = False,
-                 repeat: bool = True, use_processes: bool = False):
+                 repeat: bool = True, use_processes: bool = False,
+                 files_per_cycle: Optional[int] = None,
+                 parallel_reads: Optional[int] = None,
+                 shuffle_buffer: Optional[int] = None):
         self.files = [f for i, f in enumerate(file_paths)
                       if i % num_hosts == host_index]
         if not self.files:
@@ -51,6 +60,16 @@ class PretrainLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.seed = seed if seed is not None else int(time.time())
+        # decorrelation knobs; None picks up the config's device section
+        # (the reference YAML surface: n_fns_per_cycle / num_parallel_reads
+        # / shuffle_buffer_size)
+        dev = cfg.device
+        self.files_per_cycle = (files_per_cycle if files_per_cycle is not None
+                                else dev.n_fns_per_cycle)
+        self.parallel_reads = (parallel_reads if parallel_reads is not None
+                               else dev.num_parallel_reads)
+        self.shuffle_buffer = (shuffle_buffer if shuffle_buffer is not None
+                               else dev.shuffle_buffer_size)
         # processes sidestep the GIL for the numpy masking work; threads are
         # enough when JPEG decode (GIL-released) dominates
         self.use_processes = use_processes
@@ -69,7 +88,9 @@ class PretrainLoader:
         so the continuation is bit-identical)."""
         return {"seed": self.seed, "records_consumed": int(self._consumed),
                 "records_skipped": int(self._skipped),
-                "num_files": len(self.files)}
+                "num_files": len(self.files),
+                "shuffle": [self.files_per_cycle, self.parallel_reads,
+                            self.shuffle_buffer]}
 
     def load_state_dict(self, state: Dict):
         if state.get("seed") != self.seed or \
@@ -77,29 +98,111 @@ class PretrainLoader:
             raise ValueError("loader state does not match this loader's "
                              "seed/file shard — resume would silently "
                              "change the data stream")
+        want = [self.files_per_cycle, self.parallel_reads,
+                self.shuffle_buffer]
+        if state.get("shuffle", want) != want:
+            raise ValueError("loader state was written with different "
+                             "cycle/interleave/shuffle settings — resume "
+                             "would silently change the data stream")
         self._start_from = int(state["records_consumed"])
         self._consumed = self._start_from
 
     def _record_stream(self, skip: int = 0):
-        """(record_bytes, per-example rng) pairs across epoch-shuffled files.
-        ``skip`` fast-forwards that many records (bytes are read, but no
-        decode/masking happens — resume cost is sequential IO only)."""
+        """(record_bytes, per-example rng) pairs: epoch-shuffled file cycles
+        -> round-robin interleave -> shuffle buffer. ``skip`` fast-forwards
+        that many POST-shuffle records (bytes are read and the shuffle RNG
+        replays deterministically, but no decode/masking happens — resume
+        cost is sequential IO only)."""
+        for item in self._shuffled_records():
+            if skip > 0:
+                skip -= 1
+                continue
+            yield item
+
+    def _interleave_cycle(self, cycle_files, epoch: int, base_fi: int):
+        """Round-robin records from up to ``parallel_reads`` concurrently
+        open readers over one cycle's files (TFRecordDataset
+        num_parallel_reads semantics); per-file errors drop that reader and
+        move on (crash-only, dataloader.py:943-955)."""
+        pending = list(enumerate(cycle_files))
+
+        def open_next():
+            while pending:
+                fi, path = pending.pop(0)
+                try:
+                    return [fi, path, iter(read_records(path)), 0]
+                except Exception as e:
+                    print(f"loader error opening {path}: "
+                          f"{type(e).__name__}: {e}", flush=True)
+                    time.sleep(1.0)
+            return None
+
+        k = max(1, min(self.parallel_reads, len(cycle_files)))
+        readers = []
+        for _ in range(k):
+            r = open_next()
+            if r:
+                readers.append(r)
+        i = 0
+        while readers:
+            r = readers[i % len(readers)]
+            try:
+                record = next(r[2])
+            except StopIteration:
+                readers.remove(r)
+                nr = open_next()
+                if nr:
+                    readers.append(nr)
+                continue
+            except Exception as e:
+                print(f"loader error on {r[1]}: {type(e).__name__}: {e}",
+                      flush=True)
+                time.sleep(1.0)
+                readers.remove(r)
+                nr = open_next()
+                if nr:
+                    readers.append(nr)
+                continue
+            ri = r[3]
+            r[3] += 1
+            yield record, np.random.default_rng(
+                (self.seed, epoch, base_fi + r[0], ri))
+            i += 1
+
+    def _shuffled_records(self):
+        """Cycles of ``files_per_cycle`` files, interleaved, through a
+        ``shuffle_buffer``-element shuffle (fill buffer, emit a uniformly
+        random element, refill — tf.data shuffle semantics with an explicit
+        seeded RNG; buffer drains at each cycle boundary like the
+        reference's per-cycle datasets).
+
+        Memory: the buffer holds RAW record bytes — at base-corpus record
+        sizes (~0.5-1 MB) the reference-parity 4096 buffer costs a few GB
+        of host RAM, same as the reference's tf.data shuffle. Pass a
+        smaller ``shuffle_buffer`` on small hosts."""
         rng_files = pyrandom.Random(self.seed)
+        rng_shuf = pyrandom.Random(self.seed ^ 0x5DEECE66D)
         epoch = 0
         while True:
             files = list(self.files)
             rng_files.shuffle(files)
-            for fi, path in enumerate(files):
-                try:
-                    for ri, record in enumerate(read_records(path)):
-                        if skip > 0:
-                            skip -= 1
-                            continue
-                        yield record, np.random.default_rng((self.seed, epoch, fi, ri))
-                except Exception as e:  # crash-only: log, back off, next file
-                    print(f"loader error on {path}: {type(e).__name__}: {e}",
-                          flush=True)
-                    time.sleep(1.0)
+            fpc = max(1, min(self.files_per_cycle, len(files)))
+            for c0 in range(0, len(files), fpc):
+                buf = []
+                for item in self._interleave_cycle(files[c0:c0 + fpc],
+                                                   epoch, c0):
+                    if self.shuffle_buffer <= 1:
+                        yield item
+                        continue
+                    buf.append(item)
+                    if len(buf) >= self.shuffle_buffer:
+                        j = rng_shuf.randrange(len(buf))
+                        buf[j], buf[-1] = buf[-1], buf[j]
+                        yield buf.pop()
+                while buf:
+                    j = rng_shuf.randrange(len(buf))
+                    buf[j], buf[-1] = buf[-1], buf[j]
+                    yield buf.pop()
             epoch += 1
             if not self.repeat:
                 return

@@ -140,3 +140,51 @@ def test_loader_with_processes(corpus_files, cfg):
     for k in batches[0]:
         np.testing.assert_array_equal(np.asarray(batches[0][k]),
                                       np.asarray(threaded[0][k]), err_msg=k)
+
+
+def test_record_stream_interleaves_and_shuffles(cfg, tmp_path):
+    """The raw record stream must mix files within a cycle (round-robin
+    interleave) and permute order through the shuffle buffer — consecutive
+    records may not simply replay one file (dataloader.py:879-895
+    semantics). Deterministic per seed; a different seed permutes
+    differently."""
+    import numpy as np
+
+    paths = []
+    for i in range(3):
+        p = os.path.join(tmp_path, f"s{i}.tfrecord")
+        write_synthetic_corpus(p, cfg, num_records=4, seed=10 + i)
+        paths.append(p)
+
+    def stream_ids(seed, **kw):
+        loader = PretrainLoader(paths, cfg, batch_size=2, seed=seed,
+                                repeat=False, **kw)
+        # identify each record by its bytes' hash; rngs ride along
+        return [hash(rec) for rec, _ in loader._record_stream()]
+
+    a = stream_ids(3)
+    b = stream_ids(3)
+    assert a == b  # deterministic given the seed
+    assert sorted(a) == sorted(stream_ids(4))  # same multiset...
+    assert a != stream_ids(4)                  # ...different order
+
+    # no-shuffle + 1 reader reproduces pure sequential file order; the
+    # default stream must differ from it (decorrelation actually happens)
+    seq = stream_ids(3, shuffle_buffer=1, parallel_reads=1)
+    assert sorted(seq) == sorted(a)
+    assert seq != a
+
+    # interleave alone (shuffle off): records alternate across the cycle's
+    # files rather than draining one file first
+    inter = stream_ids(3, shuffle_buffer=1)
+    assert inter[:3] != seq[:3]
+
+
+def test_resume_refuses_mismatched_shuffle_settings(corpus_files, cfg):
+    loader = PretrainLoader(corpus_files, cfg, batch_size=2, seed=5,
+                            repeat=False)
+    state = loader.state_dict()
+    other = PretrainLoader(corpus_files, cfg, batch_size=2, seed=5,
+                           repeat=False, shuffle_buffer=7)
+    with pytest.raises(ValueError):
+        other.load_state_dict(state)
