@@ -133,3 +133,52 @@ def test_creation_to_training_closure(tmp_path):
     assert np.isfinite(ex["audio_clips"]).all()
     # packing produced at least 2 video sources when the group mixes videos
     assert ex["video_src_index"].max() >= 1
+
+
+def test_youtube_screening_pipeline():
+    """The acquisition acceptance gates mirror the reference's
+    download_id pipeline (download_youtube.py:286-430): transcript
+    presence, duration, gaming category, word density, English check —
+    each with its recorded fail reason."""
+    from merlot_reserve_tpu.dataset_creation.youtube import (looks_english,
+                                                             screen_video,
+                                                             words_per_30s)
+
+    def transcript(n, rate_per_30s, english=True):
+        words = ("so this is the thing that we are going to do now and then "
+                 "we will see what it does").split() if english else \
+            ["zxqv%d" % i for i in range(20)]
+        out = []
+        for i in range(n):
+            t = i * (30.0 / rate_per_30s)
+            out.append({"word": words[i % len(words)], "start": t,
+                        "end": t + 0.2})
+        return out
+
+    meta = {"title": "How to cook the best pasta at home",
+            "description": "In this video we show you the way to do it",
+            "tags": "cooking pasta", "duration": 300.0, "categories": []}
+
+    good = screen_video(meta, transcript(600, 60))
+    assert good["ok"], good
+    assert max(good["_words_per_30s"]) >= 50
+
+    assert screen_video(meta, [])["fail_reason"] == "no transcript"
+    assert screen_video(dict(meta, duration=30 * 60),
+                        transcript(600, 60))["fail_reason"] == "video too long"
+    assert screen_video(dict(meta, categories=["Gaming"]),
+                        transcript(600, 60))["fail_reason"] == "gaming"
+    sparse = screen_video(meta, transcript(100, 10))
+    assert sparse["fail_reason"] == "word density too low"
+    nonen = screen_video(dict(meta, title="zxq vbn", description=""),
+                         transcript(600, 60, english=False))
+    assert nonen["fail_reason"] == "maybe not english"
+
+    # density histogram shape
+    assert words_per_30s([0.0, 1.0, 31.0]) == [2, 1]
+    assert words_per_30s([]) == [0]
+
+    # language proxy accepts real English, rejects gibberish
+    assert looks_english("A day in the life", "we go to the park and see "
+                         "what is there", ["the", "dog", "is", "here"])
+    assert not looks_english("zzz", "", ["qqq", "vvv"])
