@@ -20,6 +20,13 @@ fallback.
     direction. Beats XLA's dense attention 1.7-3.4x at L >= 4096.
   * 'xla':   jnp.einsum attention (wins at the reference's short lengths).
   * 'auto':  flash on TPU when seq_len >= _FLASH_MIN_LEN, else xla.
+  * 'ring':  sequence-parallel ring attention over the active mesh's sp
+    axis (ops/ring_attention.py) — 'ring' / 'ring:lax' (differentiable),
+    'ring:flash' / 'ring:rdma' (Pallas per-hop / in-kernel RDMA, fwd-only),
+    optionally 'ring:IMPL:AXIS' to ring over a different mesh axis. Needs
+    an active mesh (parallel.mesh.activate_mesh); degenerates to the dense
+    path when the axis is absent or size 1, so a config with
+    joint_attention_impl='ring' still runs single-chip.
 """
 
 from __future__ import annotations
@@ -474,6 +481,25 @@ def attention(q, k, v, *, is_valid=None, segment_ids=None, bias=None, impl: str 
             and L >= _FLASH_MIN_LEN
         )
         impl = "flash" if can_flash else "xla"
+
+    if impl.startswith("ring"):
+        assert bias is None, (
+            "ring attention consumes per-position labels, not a dense bias "
+            "— pass is_valid/segment_ids or use impl='xla'")
+        from merlot_reserve_tpu.ops.ring_attention import (
+            sequence_parallel_attention,
+        )
+        from merlot_reserve_tpu.parallel.mesh import current_mesh
+
+        parts = impl.split(":")
+        sub = parts[1] if len(parts) > 1 else "lax"
+        axis = parts[2] if len(parts) > 2 else "sp"
+        mesh = current_mesh()
+        if mesh is not None and mesh.shape.get(axis, 1) > 1:
+            return sequence_parallel_attention(
+                mesh, q, k, v, is_valid=is_valid, segment_ids=segment_ids,
+                axis_name=axis, impl=sub, interpret=interpret)
+        impl = "xla"  # no sequence axis to ring over
 
     if impl.startswith("flash"):
         assert bias is None, (

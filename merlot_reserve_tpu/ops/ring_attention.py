@@ -33,13 +33,22 @@ from jax import lax
 _NEG_INF = -1e10
 
 
-def _pvary(x, axis_name):
+def _pvary(x, axis_name, ref=None):
     # mark an unvarying array as varying over the ring axis so the scan
-    # carry types line up under shard_map's varying-axis checks
+    # carry types line up under shard_map's varying-axis checks; with a
+    # ``ref`` array (e.g. q, which may additionally vary over a dp batch
+    # axis on a combined mesh), match its full varying set
+    axes = {axis_name} if isinstance(axis_name, str) else set(axis_name)
+    if ref is not None:
+        try:
+            axes |= set(jax.typeof(ref).vma)
+        except Exception:
+            pass
+    axes = tuple(sorted(axes))
     if hasattr(lax, "pcast"):  # JAX >= 0.9
-        return lax.pcast(x, axis_name, to="varying")
+        return lax.pcast(x, axes, to="varying")
     if hasattr(lax, "pvary"):
-        return lax.pvary(x, axis_name)
+        return lax.pvary(x, axes)
     return x
 
 
@@ -99,7 +108,7 @@ def ring_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp"):
     l0 = jnp.zeros((B, H, Lq), jnp.float32)
     # under shard_map's varying-axis typing, the running stats must be marked
     # as varying over the ring axis to match the loop outputs
-    acc0, m0, l0 = (_pvary(x, axis_name) for x in (acc0, m0, l0))
+    acc0, m0, l0 = (_pvary(x, axis_name, ref=q) for x in (acc0, m0, l0))
     carry0 = (k, v, q_valid, q_seg, acc0, m0, l0)
     (_, _, _, _, acc, _m, l), _ = lax.scan(step, carry0, None, length=n)
 
@@ -163,7 +172,7 @@ def ring_flash_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp",
     # finite "-inf": keeps exp(lse_run - lse_new) well-defined on the first
     # merge (every real step's lse is > -1e30 even for fully masked rows)
     lse0 = jnp.full((B, Lq, H, 1), -1e30, jnp.float32)
-    out0, lse0 = (_pvary(x, axis_name) for x in (out0, lse0))
+    out0, lse0 = (_pvary(x, axis_name, ref=q) for x in (out0, lse0))
     carry0 = (k, v, q_valid, q_seg, out0, lse0)
     (_, _, _, _, out, _lse), _ = lax.scan(step, carry0, None, length=n)
     return out.astype(q.dtype)
@@ -190,8 +199,15 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
     if segment_ids is None:
         segment_ids = jnp.zeros((B, L), jnp.int32)
 
-    qkv_spec = P(None, axis_name, None, None)
-    lbl_spec = P(None, axis_name)
+    # Shard the batch dim over dp when the mesh has one (and B divides):
+    # otherwise a combined dp x sp mesh would all-gather the global batch
+    # into every dp shard at the shard_map boundary and compute it
+    # redundantly (the same trap parallel/pipeline.py documents).
+    bax = None
+    if "dp" in mesh.shape and mesh.shape["dp"] > 1 and B % mesh.shape["dp"] == 0:
+        bax = "dp"
+    qkv_spec = P(bax, axis_name, None, None)
+    lbl_spec = P(bax, axis_name)
 
     if impl == "rdma":
         body = functools.partial(ring_flash_attention_rdma,
