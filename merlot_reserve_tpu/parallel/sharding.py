@@ -27,6 +27,36 @@ def batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P("dp"))
 
 
+def form_global_batch(mesh: Mesh, batch, sharding=None):
+    """Assemble the global on-mesh batch from this process's local slice.
+
+    The reference divides the global batch across hosts in tf.data and lets
+    pmap consume each host's slice locally (dataloader.py:920-930,
+    train.py:106). Under one jit over a global mesh the equivalent is a
+    global ``jax.Array`` per leaf: each host's loader yields its
+    1/num_hosts rows (data/loader.py file+batch sharding) and
+    ``jax.make_array_from_process_local_data`` stitches the slices into one
+    dim-0-dp-sharded array without any cross-host transfer — every chip
+    receives only rows its own host read. Feeding host-local numpy straight
+    into a jit with dp in_shardings works only in single-process; this is
+    the multi-host-correct feed for every batch entering the mesh.
+
+    Single-process this is exactly ``jax.device_put(batch, batch_sharding)``.
+    Leaves whose dim 0 is not the (local) batch dim follow the same sharding
+    rule as the jit expects, so no resharding happens at dispatch.
+    """
+    sharding = sharding or batch_sharding(mesh)
+
+    def _one(v):
+        if jax.process_count() == 1:
+            if isinstance(v, jax.Array):  # device-builder output: already on mesh
+                return v if v.sharding == sharding else jax.device_put(v, sharding)
+            return jax.device_put(np.asarray(v), sharding)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(v))
+
+    return jax.tree.map(_one, batch)
+
+
 def _tp_spec_for(path: str, leaf) -> "P":
     """Tensor-parallel partition spec for a param leaf, by name pattern.
 

@@ -136,9 +136,14 @@ def run_pretraining(
     except ValueError:
         pass  # not the main thread (tests/embedded use); flag stays usable
 
+    # multi-host-correct feed: each host's loader yields its slice of the
+    # global batch; form_global_batch assembles the dp-sharded global Array
+    # (single-process it's a plain sharded device_put)
+    from merlot_reserve_tpu.parallel.sharding import form_global_batch
+
     batch = first_batch
     for step in range(start_step, num_steps):
-        batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch_dev = form_global_batch(mesh, batch)
         state, metrics = step_fn(state, batch_dev)
 
         ready = metrics_q.push(step, metrics)
@@ -202,6 +207,7 @@ def evaluate_loss(cfg: MerlotConfig, state, batch_iterator, num_batches: int,
     from merlot_reserve_tpu.models.pretrainer import loss_fn_given_preds
     from merlot_reserve_tpu.parallel.mesh import activate_mesh
     from merlot_reserve_tpu.parallel.sharding import (batch_sharding,
+                                                      form_global_batch,
                                                       param_shardings)
 
     mesh = mesh or make_mesh(dp=cfg.device.dp, tp=cfg.device.tp,
@@ -218,7 +224,7 @@ def evaluate_loss(cfg: MerlotConfig, state, batch_iterator, num_batches: int,
     preds_acc = []
     with activate_mesh(mesh):
         for _ in range(num_batches):
-            batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+            batch = form_global_batch(mesh, next(it))
             preds_acc.append(fwd(state.params, batch))
         preds_cat = jax.tree.map(
             lambda *xs: jnp.concatenate(xs, 0) if xs[0].ndim > 0 else xs[0],

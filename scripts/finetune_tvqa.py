@@ -51,6 +51,7 @@ def main():
         tvqa_pred_step,
     )
     from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.parallel.sharding import form_global_batch
     from merlot_reserve_tpu.training.optimization import construct_finetuning_train_state
     from merlot_reserve_tpu.utils.checkpoint import (
         load_checkpoint,
@@ -86,7 +87,7 @@ def main():
     for epoch in range(args.ne):
         for it in range(steps_per_epoch):
             batch = next(batches)
-            state, info = step_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
+            state, info = step_fn(state, form_global_batch(mesh, batch))
             if (it + 1) % 100 == 0:
                 info = {k: float(v) for k, v in info.items()}
                 print(f"epoch {epoch} it {it + 1}: {info}", flush=True)
@@ -97,7 +98,7 @@ def main():
             for batch in finetune_batches(sorted(glob.glob(args.val_fns)), cfg,
                                           "tvqa", args.batch_size,
                                           is_training=False, repeat=False):
-                preds = pred_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
+                preds = pred_fn(state, form_global_batch(mesh, batch))
                 for j, k in enumerate(["preds_audio", "preds_text", "preds_joint"]):
                     stats[j] += (np.asarray(preds[k]) == batch["labels"]).sum()
                 n += len(batch["labels"])
@@ -115,7 +116,7 @@ def main():
                                            "tvqa", args.batch_size,
                                            is_training=False, repeat=False,
                                            return_ids=True):
-            preds = pred_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
+            preds = pred_fn(state, form_global_batch(mesh, batch))
             for i, id_i in enumerate(ids):
                 if id_i == "pad":
                     continue

@@ -1,0 +1,66 @@
+"""Worker process for tests/test_multiprocess.py.
+
+Runs `run_pretraining` as one process of a 2-process jax.distributed CPU
+cluster (4 local devices each, dp=8 global mesh). Each worker feeds only its
+half of the global batch — the multi-host feed path the reference exercises
+only on real TPU pods (SURVEY.md §4: "multi-node without a cluster is not
+tested" there; here it is).
+
+Usage: python _mp_worker.py <process_id> <coordinator_port> <out_json>
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+
+def main():
+    pid, port, out_json = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                               process_id=pid)
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8
+
+    import dataclasses
+
+    import merlot_reserve_tpu as mr
+    from merlot_reserve_tpu.data.dummy import make_dummy_batch
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.training.pretrain import run_pretraining
+    from merlot_reserve_tpu.utils.experiment import NullTracker
+
+    cfg = mr.load_config("base", hidden_size=64, joint_num_layers=2,
+                         vit_num_layers=2, audio_num_layers=2,
+                         span_num_layers=2, size_per_head=32,
+                         output_grid=(4, 4), use_bfloat16=False)
+    cfg = cfg.replace_data(num_segments=4, num_segment_groups=2, seq_len=80,
+                           lang_seq_len=40, num_text_spans_to_include=8)
+    cfg = dataclasses.replace(cfg, optimizer=dataclasses.replace(
+        cfg.optimizer, num_train_steps=100, num_warmup_steps=10))
+
+    def local_batches(n):
+        # each host yields its 1/num_hosts slice of the global batch (the
+        # role data/loader.py's file sharding plays in production)
+        for i in range(n):
+            b = make_dummy_batch(cfg, batch_size=8, seed=i, num_text_spans=16)
+            yield {k: v[pid * 4:(pid + 1) * 4] for k, v in b.items()}
+
+    mesh = make_mesh(dp=8)
+    logged = []
+    run_pretraining(cfg, local_batches(3), num_steps=3, mesh=mesh,
+                    log_every=1, tracker=NullTracker(),
+                    log_fn=lambda s, m: logged.append((s, m)))
+    with open(out_json, "w") as f:
+        json.dump(logged, f)
+    print(f"worker {pid} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Real multi-process (multi-"host") training parity on a local CPU cluster.
+
+The reference only ever exercises its multi-host path (per-host tf.data file
+shards + pmap, dataloader.py:920-930 + train.py:106) on real TPU pods —
+SURVEY.md §4 calls out that "multi-node without a cluster is not tested"
+there. Here it is: two OS processes, each owning 4 virtual CPU devices, join
+one jax.distributed cluster (Gloo collectives), build the SAME global dp=8
+mesh, and run `run_pretraining` with each process feeding only its half of
+the global batch through `form_global_batch`
+(jax.make_array_from_process_local_data). The logged loss curve must match a
+single-process dp=8 run of the identical global batches.
+
+This is the in-env proof that the whole training loop — state device_put to
+cross-process shardings, ZeRO-1 moment sharding, the batch feed, implicit
+psum/all_gather collectives, async metrics device_get of replicated arrays —
+is multi-host-correct, not just single-process-with-8-devices correct.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    port = _free_port()
+    outs = [str(tmp_path / f"loss_{i}.json") for i in range(2)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers size their own device count
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(_HERE, "_mp_worker.py"),
+         str(i), str(port), outs[i]],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    logs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    with open(outs[0]) as f:
+        mp_logged = json.load(f)
+    with open(outs[1]) as f:
+        mp_logged_1 = json.load(f)
+    assert mp_logged and mp_logged == mp_logged_1 or _close(mp_logged, mp_logged_1)
+
+    # single-process reference run: same tiny config, same global batches,
+    # dp=8 over this process's 8 virtual devices
+    import dataclasses
+
+    import jax
+
+    import merlot_reserve_tpu as mr
+    from merlot_reserve_tpu.data.dummy import make_dummy_batch
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.training.pretrain import run_pretraining
+    from merlot_reserve_tpu.utils.experiment import NullTracker
+
+    cfg = mr.load_config("base", hidden_size=64, joint_num_layers=2,
+                         vit_num_layers=2, audio_num_layers=2,
+                         span_num_layers=2, size_per_head=32,
+                         output_grid=(4, 4), use_bfloat16=False)
+    cfg = cfg.replace_data(num_segments=4, num_segment_groups=2, seq_len=80,
+                           lang_seq_len=40, num_text_spans_to_include=8)
+    cfg = dataclasses.replace(cfg, optimizer=dataclasses.replace(
+        cfg.optimizer, num_train_steps=100, num_warmup_steps=10))
+
+    def batches(n):
+        for i in range(n):
+            yield make_dummy_batch(cfg, batch_size=8, seed=i, num_text_spans=16)
+
+    logged = []
+    run_pretraining(cfg, batches(3), num_steps=3,
+                    mesh=make_mesh(dp=8, devices=jax.devices("cpu")[:8]),
+                    log_every=1, tracker=NullTracker(),
+                    log_fn=lambda s, m: logged.append((s, m)))
+
+    assert _close(mp_logged, [list(x) for x in _jsonish(logged)]), (
+        f"multi-process {mp_logged} vs single-process {logged}")
+
+
+def _jsonish(logged):
+    return [(s, {k: float(v) for k, v in m.items()}) for s, m in logged]
+
+
+def _close(a, b, tol=2e-4):
+    if len(a) != len(b):
+        return False
+    for (sa, ma), (sb, mb) in zip(a, b):
+        if int(sa) != int(sb) or set(ma) != set(mb):
+            return False
+        for k in ma:
+            if abs(ma[k] - mb[k]) > tol * max(1.0, abs(mb[k])):
+                return False
+    return True

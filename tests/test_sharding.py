@@ -75,3 +75,27 @@ def test_batch_sharding_placement(cpu_devices):
     x = jax.device_put(np.zeros((16, 4)), sh)
     assert len(x.addressable_shards) == 8
     assert x.addressable_shards[0].data.shape == (2, 4)
+
+
+def test_form_global_batch_single_process(cpu_devices):
+    """Single-process: form_global_batch == sharded device_put, passes
+    jax.Arrays through, and the result feeds a dp-sharded jit directly."""
+    from merlot_reserve_tpu.parallel.sharding import form_global_batch
+
+    mesh = make_mesh(dp=8, tp=1, devices=cpu_devices[:8])
+    batch = {
+        "tokens": np.arange(32, dtype=np.int32).reshape(8, 4),
+        "images": np.ones((16, 3), np.float32),  # flattened example-major leaf
+    }
+    g = form_global_batch(mesh, batch)
+    for k, v in g.items():
+        assert isinstance(v, jax.Array)
+        assert v.sharding == batch_sharding(mesh)
+        np.testing.assert_array_equal(np.asarray(v), batch[k])
+    # device-builder output (already a jax.Array) passes through untouched
+    pre = jax.device_put(np.zeros((8, 2)), batch_sharding(mesh))
+    g2 = form_global_batch(mesh, {"x": pre})
+    assert g2["x"] is pre
+    out = jax.jit(lambda b: b["tokens"].sum(),
+                  in_shardings=(batch_sharding(mesh),))({"tokens": g["tokens"]})
+    assert int(out) == int(batch["tokens"].sum())
