@@ -19,6 +19,7 @@ SCRIPTS = [
     "scripts/prep_tvqa.py",
     "scripts/plan_memory.py",
     "scripts/convert_checkpoint.py",
+    "scripts/export_serving.py",
     "demo/demo_video.py",
     "demo/zero_shot_ek100.py",
     "demo/zero_shot_qa.py",
