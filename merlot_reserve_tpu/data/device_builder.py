@@ -283,9 +283,14 @@ class DeviceExampleBuilder:
         masked = jnp.zeros(n_rows, bool).at[top].set(True)
         masked &= lens > 0  # fewer real rows than the budget: mask what exists
 
+        # fake-segment rows draw lengths 1..len(_WEIGHTS_V2)=15 regardless of
+        # the configured span length: max_row must cover 15 (or the scatter
+        # drops row tails), and the span-table width must match the t2a/a2t
+        # tables for the build() concat at any text_span_length
         spans, streams = dev.mask_tokens(
-            k_tok, vals, lens, masked, max_row=self.span_len,
-            text_span_start_counter=counter, num_groups=1)
+            k_tok, vals, lens, masked, max_row=max(self.span_len, 15),
+            text_span_start_counter=counter, num_groups=1,
+            text_span_len=self.span_len)
         stream_t, stream_v = streams[0]
 
         # left/right raw-context fill into the remaining budget

@@ -74,9 +74,9 @@ class PretrainLoader:
         # enough when JPEG decode (GIL-released) dominates
         self.use_processes = use_processes
         self._builder = PretrainExampleBuilder(cfg)
-        self._start_from = 0   # records to skip on (re)start
         self._consumed = 0     # records consumed by yielded batches (incl. skips)
         self._skipped = 0      # corrupt records dropped (observability)
+        self._iterating = False
 
     # -- resumable data state (beyond the reference: dataloader.py:922-924
     # deliberately re-seeds with time() on restart, losing the position) ----
@@ -104,8 +104,7 @@ class PretrainLoader:
             raise ValueError("loader state was written with different "
                              "cycle/interleave/shuffle settings — resume "
                              "would silently change the data stream")
-        self._start_from = int(state["records_consumed"])
-        self._consumed = self._start_from
+        self._consumed = int(state["records_consumed"])
 
     def _record_stream(self, skip: int = 0):
         """(record_bytes, per-example rng) pairs: epoch-shuffled file cycles
@@ -220,9 +219,20 @@ class PretrainLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """Yield collated batches; decode+mask runs on a worker pool ahead of
         consumption (the prefetch_to_device role moves to the trainer, which
-        enqueues the next batch while the step runs)."""
+        enqueues the next batch while the step runs).
+
+        Every iteration CONTINUES from the current position (``_consumed``
+        records, as restored by load_state_dict or advanced by previous
+        iteration) — re-iterating never replays records already yielded, so
+        the resumable position stays a true stream offset. A repeat=False
+        loader is therefore exhausted for good after one pass; build a new
+        loader (new seed) for another epoch."""
+        if self._iterating:
+            raise RuntimeError("PretrainLoader does not support concurrent "
+                               "iteration (the stream position is shared)")
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        producer_error: List[BaseException] = []
 
         def producer():
             # NOTE: Executor.map consumes its iterable EAGERLY — on an
@@ -248,7 +258,7 @@ class PretrainLoader:
                 with Pool(max_workers=self.num_workers) as pool:
                     from collections import deque
 
-                    stream = self._record_stream(skip=self._start_from)
+                    stream = self._record_stream(skip=self._consumed)
                     window = max(2 * self.num_workers, self.batch_size)
                     inflight = deque()
                     batch_examples = []
@@ -287,21 +297,31 @@ class PretrainLoader:
                             batch_examples = []
                             skipped_in_batch = 0
             except Exception as e:
+                # a producer-level failure (collate/device error, not a
+                # per-record skip) must surface to the trainer — ending the
+                # stream here would read as "input exhausted" and a long
+                # pretraining job would exit hours early WITH SUCCESS status
                 print(f"loader producer died: {type(e).__name__}: {e}", flush=True)
+                producer_error.append(e)
             finally:
                 put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        self._iterating = True
         try:
             while True:
                 item = out_q.get()
                 if item is None:
+                    if producer_error:
+                        raise RuntimeError(
+                            "loader producer failed") from producer_error[0]
                     return
                 batch, n_records = item
                 self._consumed += n_records
                 yield batch
         finally:
+            self._iterating = False
             stop.set()
 
 
@@ -361,6 +381,10 @@ def input_fn_builder(cfg: MerlotConfig, file_paths: List[str],
     """Reference-shaped constructor (dataloader.py:906-960): global batch is
     divided by num_hosts; each host reads its file shard. ``on_device=True``
     assembles examples on the accelerator (DevicePretrainLoader)."""
+    assert cfg.device.batch_size % num_hosts == 0, (
+        f"global batch {cfg.device.batch_size} must divide across "
+        f"{num_hosts} hosts (the reference divides exactly, "
+        f"dataloader.py:920)")
     per_host_batch = cfg.device.batch_size // num_hosts
     cls = DevicePretrainLoader if on_device else PretrainLoader
     return cls(file_paths, cfg, per_host_batch,

@@ -165,11 +165,10 @@ def load_serving_artifact(path: str) -> ExportedVideoService:
         embed_exp = jax_export.deserialize(f.read())
     with open(os.path.join(path, "label_space.jaxexp"), "rb") as f:
         label_exp = jax_export.deserialize(f.read())
+    from merlot_reserve_tpu.utils.checkpoint import decompress_state
+
     with open(os.path.join(path, "params.msgpack"), "rb") as f:
-        params16 = flax.serialization.msgpack_restore(f.read())
-    params = jax.tree.map(
-        lambda v: v.astype(np.float32) if v.dtype == np.float16 else v,
-        params16)
+        params = decompress_state(flax.serialization.msgpack_restore(f.read()))
 
     # donated-params threading around the exported calls (the relay/service
     # pattern from serving.py — exported calls are traceable, so jit+donate

@@ -473,14 +473,9 @@ def attention(q, k, v, *, is_valid=None, segment_ids=None, bias=None, impl: str 
     """
     L = q.shape[-3]
     interpret = interpret or _FORCE_INTERPRET
-    if impl == "auto":
-        can_flash = (
-            bias is None
-            and (is_valid is not None or segment_ids is not None)
-            and _on_tpu()
-            and L >= _FLASH_MIN_LEN
-        )
-        impl = "flash" if can_flash else "xla"
+    impl = resolve_impl(
+        L, impl, has_bias=bias is not None,
+        has_labels=is_valid is not None or segment_ids is not None)
 
     if impl.startswith("ring"):
         assert bias is None, (

@@ -52,9 +52,39 @@ def form_global_batch(mesh: Mesh, batch, sharding=None):
             if isinstance(v, jax.Array):  # device-builder output: already on mesh
                 return v if v.sharding == sharding else jax.device_put(v, sharding)
             return jax.device_put(np.asarray(v), sharding)
+        if isinstance(v, jax.Array):
+            # device-builder output on a pod: assemble the global array from
+            # per-device slices WITHOUT a device->host->device round trip
+            # (np.asarray here would pull the just-built batch back to host
+            # every step — the exact cost the on-device builder removes)
+            return _global_from_local_device_array(v, sharding)
         return jax.make_array_from_process_local_data(sharding, np.asarray(v))
 
     return jax.tree.map(_one, batch)
+
+
+def _global_from_local_device_array(v, sharding):
+    """Multi-process: turn this process's local device array (its slice of
+    the global batch, dim 0) into a global jax.Array under ``sharding``,
+    staying on device. Each addressable device receives its global-sharding
+    slice via a device-to-device copy."""
+    pc = jax.process_count()
+    global_shape = (v.shape[0] * pc,) + tuple(v.shape[1:])
+    idx_map = sharding.addressable_devices_indices_map(global_shape)
+    starts = [(idx[0].start or 0) for idx in idx_map.values()]
+    offset = min(starts)
+    assert max((idx[0].stop if idx[0].stop is not None else global_shape[0])
+               for idx in idx_map.values()) - offset == v.shape[0], (
+        "local array rows don't match this process's share of the global "
+        "sharding — is the per-host batch size global_batch/num_hosts?")
+    shards = []
+    for dev, idx in idx_map.items():
+        sl0 = idx[0]
+        lo = (sl0.start or 0) - offset
+        hi = (sl0.stop if sl0.stop is not None else global_shape[0]) - offset
+        shards.append(jax.device_put(v[lo:hi], dev))
+    return jax.make_array_from_single_device_arrays(global_shape, sharding,
+                                                    shards)
 
 
 def _tp_spec_for(path: str, leaf) -> "P":
@@ -163,8 +193,6 @@ def opt_state_shardings(mesh: Mesh, opt_state, zero1: bool = True) -> Any:
 
 def state_shardings(mesh: Mesh, state, zero1: bool = True):
     """Shardings for a full flax TrainState."""
-    import flax
-
     return state.replace(
         step=NamedSharding(mesh, P()),
         apply_fn=state.apply_fn,

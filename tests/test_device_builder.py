@@ -176,6 +176,29 @@ def test_build_invariants(cfg, builder, raw):
     assert np.isfinite(clips).all()
 
 
+@pytest.mark.parametrize("span_len", [11, 18])
+def test_build_non_default_span_length(cfg, segments, span_len):
+    """text_span_length != 15 must still build: the random_text span table
+    keeps the configured width (regression: it was hard-coded to 15, which
+    broke the span-table concat) and fake-segment rows up to 15 tokens are
+    not truncated by the span-table width."""
+    import dataclasses
+
+    c = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, text_span_length=span_len))
+    b = DeviceExampleBuilder(c)
+    raw = b.host_prepare(segments[0])
+    ex = jax.jit(b.build)(jax.random.PRNGKey(3),
+                          jax.tree.map(jnp.asarray, raw))
+    d = c.data
+    expected_rows = (d.num_text2audio_seqs + d.num_audio2text_seqs) * b.n_trg \
+        + d.num_text_seqs * d.text_span_budget
+    table = np.asarray(ex["text_spans"])
+    assert table.shape == (expected_rows, span_len)
+    assert (np.asarray(ex["text2audio"])[..., 0] == MASK).sum() == \
+        b.n_trg * d.num_text2audio_seqs
+
+
 @pytest.mark.slow
 def test_build_deterministic_given_key(builder, raw):
     raw_j = jax.tree.map(jnp.asarray, raw)

@@ -188,3 +188,67 @@ def test_resume_refuses_mismatched_shuffle_settings(corpus_files, cfg):
                            repeat=False, shuffle_buffer=7)
     with pytest.raises(ValueError):
         other.load_state_dict(state)
+
+
+def test_reiteration_continues_not_replays(corpus_files, cfg):
+    """Breaking out of iteration and iterating again must CONTINUE the
+    stream (position-consistent with state_dict), not replay from the stale
+    start position (regression: _start_from never advanced while _consumed
+    did, corrupting the resume offset and replaying identical batches)."""
+    loader = PretrainLoader(corpus_files, cfg, batch_size=2, seed=3,
+                            num_workers=2, repeat=True)
+    it = iter(loader)
+    first_two = [next(it), next(it)]
+    it.close()
+    assert loader.state_dict()["records_consumed"] == 4
+    third = next(iter(loader))
+    assert loader.state_dict()["records_consumed"] == 6
+
+    # a fresh loader reading straight through yields the same third batch
+    fresh = PretrainLoader(corpus_files, cfg, batch_size=2, seed=3,
+                           num_workers=2, repeat=True)
+    fit = iter(fresh)
+    expect = [next(fit) for _ in range(3)]
+    fit.close()
+    for k in third:
+        np.testing.assert_array_equal(np.asarray(third[k]),
+                                      np.asarray(expect[2][k]), err_msg=k)
+    for k in first_two[0]:
+        np.testing.assert_array_equal(np.asarray(first_two[0][k]),
+                                      np.asarray(expect[0][k]), err_msg=k)
+
+
+def test_producer_failure_raises_not_exhausts(corpus_files, cfg):
+    """A failure OUTSIDE the per-record guard (e.g. collate/device errors)
+    must raise at the consumer — silently ending a repeat=True stream would
+    let pretraining exit early with success status."""
+
+    class BrokenCollate(PretrainLoader):
+        def _collate(self, examples):
+            raise RuntimeError("device exploded")
+
+    loader = BrokenCollate(corpus_files, cfg, batch_size=2, seed=0,
+                           num_workers=2, repeat=True)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(iter(loader))
+
+
+def test_concurrent_iteration_rejected(corpus_files, cfg):
+    loader = PretrainLoader(corpus_files, cfg, batch_size=2, seed=0,
+                            num_workers=2, repeat=True)
+    it = iter(loader)
+    next(it)
+    with pytest.raises(RuntimeError, match="concurrent"):
+        next(iter(loader))
+    it.close()
+
+
+def test_input_fn_builder_rejects_indivisible_batch(corpus_files, cfg):
+    import dataclasses
+
+    from merlot_reserve_tpu.data.loader import input_fn_builder
+
+    c = dataclasses.replace(cfg, device=dataclasses.replace(
+        cfg.device, batch_size=8))
+    with pytest.raises(AssertionError, match="divide"):
+        input_fn_builder(c, corpus_files, host_index=0, num_hosts=3)

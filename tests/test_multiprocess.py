@@ -106,3 +106,51 @@ def _close(a, b, tol=2e-4):
             if abs(ma[k] - mb[k]) > tol * max(1.0, abs(mb[k])):
                 return False
     return True
+
+
+_DEVICE_ARRAY_WORKER = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 4)
+pid = int(sys.argv[1])
+jax.distributed.initialize('127.0.0.1:' + sys.argv[2], 2, pid)
+import numpy as np, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from merlot_reserve_tpu.parallel.mesh import make_mesh
+from merlot_reserve_tpu.parallel.sharding import form_global_batch
+
+mesh = make_mesh(dp=8)
+local = jnp.asarray(np.arange(8, dtype=np.float32).reshape(4, 2) + 8 * pid)
+assert isinstance(local, jax.Array)
+g = form_global_batch(mesh, {{"x": local}})["x"]
+assert g.shape == (8, 2), g.shape
+for sh in g.addressable_shards:
+    row = sh.index[0].start or 0
+    np.testing.assert_array_equal(
+        np.asarray(sh.data)[0], np.arange(2, dtype=np.float32) + 2 * row)
+out = jax.jit(lambda x: x.sum(), out_shardings=NamedSharding(mesh, P()))(g)
+assert float(out) == float(np.arange(16).sum()), float(out)
+print('OK', pid)
+"""
+
+
+def test_two_process_device_array_batch(tmp_path):
+    """form_global_batch's multi-process jax.Array path (the device-builder
+    feed on pods): local device arrays assemble into the global dp-sharded
+    batch via device-to-device copies — values land on the right shards and
+    a global collective sees the full batch."""
+    port = _free_port()
+    repo = os.path.dirname(_HERE)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _DEVICE_ARRAY_WORKER.format(repo=repo),
+         str(i), str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    logs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0 and f"OK" in log, log[-3000:]

@@ -109,7 +109,8 @@ loader2 = PretrainLoader([corpus], cfg, batch_size=2, seed=3, num_workers=1,
 state = run_pretraining(cfg, loader2, num_steps=5, output_dir=out, mesh=mesh,
                         log_every=1)
 assert int(jax.device_get(state.step)) == 5
-assert loader2._start_from == 6  # resumed from the sidecar position
+# FINAL_CONSUMED == 10 proves the sidecar resume: a non-resumed loader
+# would have consumed only 4 records in the 2 remaining steps
 print("FINAL_CONSUMED", json.load(open(sidecar))["records_consumed"])
 """
     proc = subprocess.run([sys.executable, "-c", script], capture_output=True,
