@@ -86,22 +86,24 @@ def ring_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp"):
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    def step(carry, _):
-        k_cur, v_cur, kv_valid, kv_seg, acc, m_run, l_run = carry
+    def merge(acc, m_run, l_run, k_cur, v_cur, kv_valid, kv_seg):
         acc_b, m_b, l_b = _partial_attention(
             q, k_cur, v_cur, q_valid, q_seg, kv_valid, kv_seg, scale)
-
         m_new = jnp.maximum(m_run, m_b)
         c_run = jnp.exp(m_run - m_new)
         c_b = jnp.exp(m_b - m_new)
         acc = acc * c_run[..., None] + acc_b * c_b[..., None]
-        l_run = l_run * c_run + l_b * c_b
+        return acc, m_new, l_run * c_run + l_b * c_b
 
+    def step(carry, _):
+        k_cur, v_cur, kv_valid, kv_seg, acc, m_run, l_run = carry
+        acc, m_run, l_run = merge(acc, m_run, l_run,
+                                  k_cur, v_cur, kv_valid, kv_seg)
         k_nxt = lax.ppermute(k_cur, axis_name, perm)
         v_nxt = lax.ppermute(v_cur, axis_name, perm)
         valid_nxt = lax.ppermute(kv_valid, axis_name, perm)
         seg_nxt = lax.ppermute(kv_seg, axis_name, perm)
-        return (k_nxt, v_nxt, valid_nxt, seg_nxt, acc, m_new, l_run), None
+        return (k_nxt, v_nxt, valid_nxt, seg_nxt, acc, m_run, l_run), None
 
     acc0 = jnp.zeros((B, H, Lq, D), jnp.float32)
     m0 = jnp.full((B, H, Lq), _NEG_INF, jnp.float32)
@@ -110,7 +112,13 @@ def ring_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp"):
     # as varying over the ring axis to match the loop outputs
     acc0, m0, l0 = (_pvary(x, axis_name, ref=q) for x in (acc0, m0, l0))
     carry0 = (k, v, q_valid, q_seg, acc0, m0, l0)
-    (_, _, _, _, acc, _m, l), _ = lax.scan(step, carry0, None, length=n)
+    # n-1 rotation steps + a merge-only epilogue: the n-th rotation would
+    # only feed the discarded final carry, and XLA cannot DCE collectives
+    # inside a scan body — one full K/V+labels ICI hop saved per call (and
+    # per backward replay on the differentiable path)
+    carry, _ = lax.scan(step, carry0, None, length=n - 1)
+    k_l, v_l, valid_l, seg_l, acc, m_run, l_run = carry
+    acc, _m, l = merge(acc, m_run, l_run, k_l, v_l, valid_l, seg_l)
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     out = (acc / l_safe[..., None]).transpose(0, 2, 1, 3)
@@ -153,6 +161,12 @@ def ring_flash_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp",
         lse_t = lse_t[:, :, 0, :Lq].transpose(0, 2, 1)[..., None]
         return out_t.astype(jnp.float32), lse_t
 
+    def lse_merge(out_run, lse_run, out_t, lse_t):
+        lse_new = jnp.logaddexp(lse_run, lse_t)
+        out_run = (out_run * jnp.exp(lse_run - lse_new)
+                   + out_t * jnp.exp(lse_t - lse_new))
+        return out_run, lse_new
+
     def step(carry, _):
         k_cur, v_cur, kv_valid, kv_seg, out_run, lse_run = carry
         # issue the rotation FIRST: no data dependence on this step's
@@ -163,10 +177,8 @@ def ring_flash_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp",
         seg_nxt = lax.ppermute(kv_seg, axis_name, perm)
 
         out_t, lse_t = one_step(k_cur, v_cur, kv_valid, kv_seg)
-        lse_new = jnp.logaddexp(lse_run, lse_t)
-        out_run = (out_run * jnp.exp(lse_run - lse_new)
-                   + out_t * jnp.exp(lse_t - lse_new))
-        return (k_nxt, v_nxt, valid_nxt, seg_nxt, out_run, lse_new), None
+        out_run, lse_run = lse_merge(out_run, lse_run, out_t, lse_t)
+        return (k_nxt, v_nxt, valid_nxt, seg_nxt, out_run, lse_run), None
 
     out0 = jnp.zeros((B, Lq, H, D), jnp.float32)
     # finite "-inf": keeps exp(lse_run - lse_new) well-defined on the first
@@ -174,7 +186,12 @@ def ring_flash_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp",
     lse0 = jnp.full((B, Lq, H, 1), -1e30, jnp.float32)
     out0, lse0 = (_pvary(x, axis_name, ref=q) for x in (out0, lse0))
     carry0 = (k, v, q_valid, q_seg, out0, lse0)
-    (_, _, _, _, out, _lse), _ = lax.scan(step, carry0, None, length=n)
+    # n-1 rotate+compute steps, then a compute-only epilogue on the last
+    # received shard (the n-th rotation would feed the discarded carry)
+    carry, _ = lax.scan(step, carry0, None, length=n - 1)
+    k_l, v_l, valid_l, seg_l, out, lse = carry
+    out_t, lse_t = one_step(k_l, v_l, valid_l, seg_l)
+    out, _lse = lse_merge(out, lse, out_t, lse_t)
     return out.astype(q.dtype)
 
 
