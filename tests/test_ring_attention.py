@@ -229,3 +229,39 @@ def test_ring_dp_sp_combined_mesh(cpu_devices):
     mask = np.asarray(valid)[..., None, None]
     np.testing.assert_allclose(np.asarray(out_ring) * mask,
                                np.asarray(out_full) * mask, atol=2e-5)
+
+
+def _walk_jaxpr_eqns(jaxpr):
+    for eqn in jaxpr.eqns:
+        yield eqn
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (list, tuple)) else (v,)
+            for sub in vs:
+                # params hold either raw Jaxprs (shard_map) or ClosedJaxprs
+                inner = sub if hasattr(sub, "eqns") else getattr(sub, "jaxpr", None)
+                if inner is not None and hasattr(inner, "eqns"):
+                    yield from _walk_jaxpr_eqns(inner)
+
+
+def test_ring_scan_drops_last_hop(sp_mesh):
+    """The ring runs n-1 rotations + a merge-only epilogue: the n-th
+    ppermute would only feed the discarded final carry, and XLA cannot DCE
+    collectives inside a scan body. Structural check on the jaxpr: every
+    scan whose body rotates (contains ppermute) has length n-1."""
+    rng = np.random.RandomState(9)
+    B, L, H, D = 1, 32, 2, 8
+    args = [jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+            for _ in range(3)]
+    n = sp_mesh.shape["sp"]
+
+    jaxpr = jax.make_jaxpr(
+        lambda q, k, v: sequence_parallel_attention(sp_mesh, q, k, v))(*args)
+    ring_scans = []
+    for eqn in _walk_jaxpr_eqns(jaxpr.jaxpr):
+        if eqn.primitive.name == "scan":
+            body = eqn.params["jaxpr"].jaxpr
+            prims = {e.primitive.name for e in _walk_jaxpr_eqns(body)}
+            if "ppermute" in prims:
+                ring_scans.append(eqn.params["length"])
+    assert ring_scans, "expected a ppermute-rotating scan in the ring jaxpr"
+    assert all(length == n - 1 for length in ring_scans), ring_scans
