@@ -61,10 +61,17 @@ def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
         from jax.experimental import mesh_utils
 
         assert dp % dcn_dp == 0, f"dp={dp} not divisible by {dcn_dp} slices"
-        hybrid = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(dp // dcn_dp, sp, pp, tp),
-            dcn_mesh_shape=(dcn_dp, 1, 1, 1),
-            devices=devices)
+        try:
+            hybrid = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(dp // dcn_dp, sp, pp, tp),
+                dcn_mesh_shape=(dcn_dp, 1, 1, 1),
+                devices=devices)
+        except ValueError:
+            # virtual/CPU devices carry no slice_index attribute — there is
+            # no DCN topology to order against, so the plain contiguous
+            # reshape below (outermost dp factor = "slices") is equivalent;
+            # real multi-slice TPU devices always take the hybrid path
+            hybrid = np.asarray(devices)
         return Mesh(hybrid.reshape(dp, sp, pp, tp),
                     axis_names=("dp", "sp", "pp", "tp"))
 
