@@ -86,6 +86,38 @@ def bench_loader(cfg, paths, n_batches: int, batch_size: int, workers: int,
     return n_batches * batch_size / dt
 
 
+def bench_reference(cfg, path, batch_size: int):
+    """The reference's OWN tf.data pipeline (unmodified
+    /root/reference/pretrain/dataloader.py:864-903 — TFRecordDataset ->
+    dataset_parser -> batch -> handle_batch, 48-thread private pool,
+    AUTOTUNE maps) over the same schema-exact records, examples/s on this
+    host. Its module imports tensorflow_datasets (dataloader.py:16) but
+    never uses it; absent in this image, so an empty stub is installed
+    (same trick as tests/test_masking_parity.py)."""
+    import sys
+    import types
+
+    sys.modules.setdefault("tensorflow_datasets",
+                           types.ModuleType("tensorflow_datasets"))
+    sys.path.insert(0, "/root/reference")
+    import yaml
+
+    with open("/root/reference/pretrain/configs/base.yaml") as f:
+        config = yaml.safe_load(f)
+    from pretrain import dataloader as ref_dl
+
+    ds = ref_dl.make_dataset(config, fns=[path], batch_size=batch_size,
+                             num_devices=1, is_training=True)
+    it = iter(ds)
+    next(it), next(it)  # pipeline warmup
+    n = 0
+    t0 = time.perf_counter()
+    for _ in it:
+        n += batch_size
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--records", type=int, default=24)
@@ -96,6 +128,9 @@ def main():
     ap.add_argument("--on-device", action="store_true",
                     help="DevicePretrainLoader: host workers only decode "
                          "bytes; example assembly runs on the accelerator")
+    ap.add_argument("--reference", action="store_true",
+                    help="measure the reference's own tf.data pipeline "
+                         "instead (same synthetic records, this host)")
     args = ap.parse_args()
 
     import merlot_reserve_tpu as mr
@@ -111,6 +146,15 @@ def main():
             write_synthetic_corpus(p, cfg, num_records=args.records // 2,
                                    seed=i)
             paths.append(p)
+
+        if args.reference:
+            exps = bench_reference(cfg, paths[0], args.batch_size)
+            print(json.dumps({
+                "metric": "reference_tf_data_examples_per_sec",
+                "value": round(exps, 2), "unit": "examples/s",
+                "segments_per_sec": round(exps * cfg.data.num_segments, 1),
+            }), flush=True)
+            return
 
         stages = bench_stages(cfg, paths[0], min(args.records, 12))
         print(json.dumps({"metric": "loader_stage_breakdown", **stages}),
