@@ -338,12 +338,18 @@ class DevicePretrainLoader(PretrainLoader):
     stays exact (the reference re-seeds everything on restart,
     dataloader.py:922-924)."""
 
-    def __init__(self, *args, **kw):
+    def __init__(self, *args, fused: bool = False, **kw):
         super().__init__(*args, **kw)
         from merlot_reserve_tpu.data.device_builder import DeviceExampleBuilder
 
         self._dev_builder = DeviceExampleBuilder(self.cfg)
         self._batch_counter = 0
+        # fused=True: yield the RAW stacked host arrays (host_prepare output
+        # + decoded images) and issue NO device calls from the loader — the
+        # example assembly runs inside the fused train step
+        # (training/trainer.py::make_jit_fused_data_train_step), one
+        # dispatch per step, mask PRNG folded from state.step in-graph
+        self.fused = fused
 
     def _build_one(self, record_rng):
         record, rng = record_rng
@@ -361,13 +367,18 @@ class DevicePretrainLoader(PretrainLoader):
 
         raws = [r for r, _ in examples]
         images = np.stack([im for _, im in examples])
+        B = images.shape[0]
+        imgs = images.reshape(B, -1, images.shape[-1]).astype(np.float32)
+        if self.fused:
+            raw_batch = stack_raw_examples(raws)
+            assert "images" not in raw_batch
+            raw_batch["images"] = imgs  # cast to bf16 inside the fused step
+            return raw_batch
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                  self._batch_counter)
         self._batch_counter += 1
         raw_batch = jax.tree.map(jnp.asarray, stack_raw_examples(raws))
         batch = dict(self._dev_builder.build_batch(key, raw_batch))
-        B = images.shape[0]
-        imgs = images.reshape(B, -1, images.shape[-1]).astype(np.float32)
         if self.use_bfloat16:
             imgs = imgs.astype(jnp.bfloat16)
         batch["images"] = imgs

@@ -39,6 +39,8 @@ def run_pretraining(
     log_fn: Callable[[int, Dict[str, float]], None] = None,
     zero1: bool = True,
     tracker=None,
+    fused_builder=None,
+    data_seed: int = 0,
 ):
     """Run (or resume) pretraining; returns the final TrainState.
 
@@ -48,6 +50,11 @@ def run_pretraining(
     :param tracker: utils.experiment.Tracker (the reference's wandb slot,
         train.py:74-78). Defaults to a JsonlTracker under output_dir on
         host 0; pass a tracker (or NullTracker()) to override.
+    :param fused_builder: a data.device_builder.DeviceExampleBuilder —
+        batch_iterator then yields RAW host arrays
+        (``DevicePretrainLoader(fused=True)``) and example assembly runs
+        inside the jitted train step (one dispatch per step; mask PRNG
+        folded from state.step with ``data_seed``).
     """
     num_steps = num_steps or cfg.optimizer.num_train_steps
     save_every = save_every or cfg.device.iterations_per_loop
@@ -98,7 +105,17 @@ def run_pretraining(
 
     batch_iter = iter(batch_iterator)
     first_batch = next(batch_iter)
-    params = model.init_params(first_batch)
+    if fused_builder is not None:
+        # raw arrays -> one eager build for shape-complete param init
+        raw0 = dict(first_batch)
+        images0 = raw0.pop("images")
+        b0 = dict(jax.device_get(fused_builder.build_batch(
+            jax.random.PRNGKey(data_seed),
+            jax.tree.map(jnp.asarray, raw0))))
+        b0["images"] = images0
+        params = model.init_params(b0)
+    else:
+        params = model.init_params(first_batch)
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))
     print(f"initialized {n_params:,d} params", flush=True)
@@ -109,7 +126,14 @@ def run_pretraining(
         if latest is not None:
             state = latest
 
-    step_fn, state = make_jit_train_step(mesh, state, zero1=zero1)
+    if fused_builder is not None:
+        from merlot_reserve_tpu.training.trainer import \
+            make_jit_fused_data_train_step
+
+        step_fn, state = make_jit_fused_data_train_step(
+            mesh, state, fused_builder, data_seed=data_seed, zero1=zero1)
+    else:
+        step_fn, state = make_jit_train_step(mesh, state, zero1=zero1)
 
     metrics_q = MetricsQueue(delay=log_every)
     async_ckpt = ckpt_lib.AsyncCheckpointer()

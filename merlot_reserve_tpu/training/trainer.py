@@ -81,6 +81,59 @@ def make_jit_train_step(mesh: Mesh, state, step_fn: Callable = train_step,
     return with_mesh, state
 
 
+def make_jit_fused_data_train_step(mesh: Mesh, state, builder,
+                                   data_seed: int = 0, zero1: bool = True,
+                                   donate: bool = True,
+                                   use_bfloat16_grads: bool = True):
+    """ONE jit from raw byte-decoded arrays to the updated state: on-device
+    example assembly (data/device_builder.py ``build_batch``) composed with
+    :func:`train_step`, so a full training step — masking, placement,
+    collation, forward, backward, optimizer — is a single device dispatch
+    and the assembled batch never crosses a program boundary (the
+    reference's whole assembly runs on host tf.data instead,
+    /root/reference/pretrain/dataloader.py:449-712).
+
+    The mask PRNG is folded from ``state.step`` INSIDE the graph: fresh
+    masks every step, deterministic given ``data_seed``, and stable across
+    preemption resume (the two-dispatch DevicePretrainLoader path re-counts
+    its batch counter from 0 on resume instead).
+
+    The raw batch is the flat dict from ``DeviceExampleBuilder.host_prepare``
+    stacked batch-major (``stack_raw_examples``) plus ``images``
+    [B, S*hw, 768] float32 decoded host-side (JPEG decode is the one stage
+    that stays on host). Use ``DevicePretrainLoader(fused=True)`` to get
+    exactly this dict per batch.
+    """
+    s_shardings = state_shardings(mesh, state, zero1=zero1)
+    b_sharding = batch_sharding(mesh)
+    state = jax.device_put(state, s_shardings)
+
+    def fused(state, raw):
+        raw = dict(raw)
+        images = raw.pop("images")
+        key = jax.random.fold_in(jax.random.PRNGKey(data_seed),
+                                 state.step.astype(jnp.uint32))
+        batch = dict(builder.build_batch(key, raw))
+        if builder.cfg.model.use_bfloat16:
+            images = images.astype(jnp.bfloat16)
+        batch["images"] = images
+        return train_step(state, batch, use_bfloat16_grads)
+
+    jitted = jax.jit(
+        fused,
+        in_shardings=(s_shardings, b_sharding),
+        out_shardings=(s_shardings, NamedSharding(mesh, P())),
+        donate_argnums=(0,) if donate else (),
+    )
+
+    @functools.wraps(jitted)
+    def with_mesh(*args, **kwargs):
+        with activate_mesh(mesh):
+            return jitted(*args, **kwargs)
+
+    return with_mesh, state
+
+
 class MetricsQueue:
     """Async metrics: device->host copies start immediately, floats materialize
     ``delay`` steps later so logging never blocks the device (the reference's

@@ -31,6 +31,11 @@ def main():
                          "workers only decode bytes; masking/placement/"
                          "collation run as one jit per batch — "
                          "data/device_builder.py)")
+    ap.add_argument("--fused_data", action="store_true",
+                    help="on-device data FUSED INTO the train step: one jit "
+                         "per step builds the batch and trains on it "
+                         "(trainer.make_jit_fused_data_train_step); implies "
+                         "--on_device_data")
     args = ap.parse_args()
 
     if args.distributed:
@@ -61,7 +66,8 @@ def main():
         cfg, files,
         host_index=jax.process_index(), num_hosts=jax.process_count(),
         seed=args.seed, use_bfloat16=cfg.model.use_bfloat16,
-        on_device=args.on_device_data)
+        on_device=args.on_device_data or args.fused_data,
+        **({"fused": True} if args.fused_data else {}))
 
     def log_fn(step, metrics):
         parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())
@@ -69,7 +75,10 @@ def main():
         print(f"step {step}: {parts}", flush=True)
 
     run_pretraining(cfg, loader, num_steps=args.num_steps,
-                    output_dir=args.output_dir, log_fn=log_fn)
+                    output_dir=args.output_dir, log_fn=log_fn,
+                    fused_builder=(loader._dev_builder if args.fused_data
+                                   else None),
+                    data_seed=args.seed or 0)
 
 
 if __name__ == "__main__":

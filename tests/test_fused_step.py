@@ -1,0 +1,127 @@
+"""Fused data+train step (trainer.make_jit_fused_data_train_step):
+example assembly inside the jitted train step must reproduce the
+two-dispatch path (DevicePretrainLoader build_batch -> make_jit_train_step)
+given the same mask key, and run_pretraining must train end-to-end from
+raw host arrays."""
+
+import os
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # two full train-step compiles per test
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import merlot_reserve_tpu as mr
+from merlot_reserve_tpu.data.loader import DevicePretrainLoader
+from merlot_reserve_tpu.data.synthetic import write_synthetic_corpus
+from merlot_reserve_tpu.models import MerlotReservePretrainer
+from merlot_reserve_tpu.parallel import make_mesh
+from merlot_reserve_tpu.training.optimization import construct_train_state
+from merlot_reserve_tpu.training.trainer import (
+    make_jit_fused_data_train_step, make_jit_train_step)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = mr.load_config("base", hidden_size=64, joint_num_layers=2,
+                       vit_num_layers=2, audio_num_layers=2, span_num_layers=2,
+                       size_per_head=32, output_grid=(4, 4),
+                       use_bfloat16=False)
+    return c.replace_data(num_segments=8, num_segment_groups=2, seq_len=168,
+                          lang_seq_len=48, num_text_spans_to_include=8,
+                          text_span_budget=10)
+
+
+@pytest.fixture(scope="module")
+def corpus(cfg, tmp_path_factory):
+    path = os.path.join(tmp_path_factory.mktemp("fused"), "c.tfrecord")
+    write_synthetic_corpus(path, cfg, num_records=8, seed=0)
+    return path
+
+
+def _raw_loader(cfg, corpus, batch_size=2, seed=7):
+    return DevicePretrainLoader([corpus], cfg, batch_size=batch_size,
+                                seed=seed, num_workers=1, repeat=True,
+                                fused=True)
+
+
+def test_fused_step_matches_two_stage(cfg, corpus):
+    loader = _raw_loader(cfg, corpus)
+    raw_batch = next(iter(loader))
+    assert all(isinstance(v, np.ndarray)
+               for v in raw_batch.values()), "fused loader must stay on host"
+    builder = loader._dev_builder
+
+    # the two-dispatch path with the SAME key the fused step folds in-graph
+    raw0 = dict(raw_batch)
+    images = raw0.pop("images")
+    key = jax.random.fold_in(jax.random.PRNGKey(7), jnp.uint32(0))
+    batch = dict(builder.build_batch(key, jax.tree.map(jnp.asarray, raw0)))
+    batch["images"] = jnp.asarray(images)
+
+    model = MerlotReservePretrainer.from_config(cfg)
+    params = model.init_params(jax.device_get(batch))
+    state = construct_train_state(cfg.optimizer, model, params)
+    mesh = make_mesh(dp=2, devices=jax.devices("cpu")[:2])
+
+    step_fn, st1 = make_jit_train_step(mesh, state, donate=False)
+    st1b, m1 = step_fn(st1, batch)
+
+    fused_fn, st2 = make_jit_fused_data_train_step(mesh, state, builder,
+                                                   data_seed=7, donate=False)
+    st2b, m2 = fused_fn(st2, {k: jnp.asarray(v)
+                              for k, v in raw_batch.items()})
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-6,
+                                   err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        jax.device_get(st1b.params), jax.device_get(st2b.params))
+
+
+def test_fused_masks_fresh_each_step(cfg, corpus):
+    """The in-graph key folds state.step: the same raw batch at different
+    steps must draw different masks (different metrics)."""
+    loader = _raw_loader(cfg, corpus)
+    raw_batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+    builder = loader._dev_builder
+
+    model = MerlotReservePretrainer.from_config(cfg)
+    raw0 = dict(jax.device_get(raw_batch))
+    images = raw0.pop("images")
+    b0 = dict(jax.device_get(builder.build_batch(
+        jax.random.PRNGKey(7), jax.tree.map(jnp.asarray, raw0))))
+    b0["images"] = images
+    params = model.init_params(b0)
+    state = construct_train_state(cfg.optimizer, model, params)
+    mesh = make_mesh(dp=2, devices=jax.devices("cpu")[:2])
+    fused_fn, state = make_jit_fused_data_train_step(mesh, state, builder,
+                                                     data_seed=7)
+    state, m_step0 = fused_fn(state, raw_batch)
+    state, m_step1 = fused_fn(state, raw_batch)
+    # identical raw inputs, different step -> different mask draws; at an
+    # untrained model the losses still move because the targets change
+    assert any(abs(float(m_step0[k]) - float(m_step1[k])) > 1e-7
+               for k in m_step0)
+
+
+@pytest.mark.slow
+def test_run_pretraining_fused(cfg, corpus):
+    from merlot_reserve_tpu.training.pretrain import run_pretraining
+
+    loader = _raw_loader(cfg, corpus)
+    mesh = make_mesh(dp=2, devices=jax.devices("cpu")[:2])
+    logged = []
+    state = run_pretraining(cfg, loader, num_steps=2, output_dir=None,
+                            mesh=mesh, log_every=1,
+                            log_fn=lambda s, m: logged.append((s, m)),
+                            fused_builder=loader._dev_builder, data_seed=7)
+    assert int(jax.device_get(state.step)) == 2
+    assert logged and all(np.isfinite(v) for _, m in logged
+                          for v in m.values())
