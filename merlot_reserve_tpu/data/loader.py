@@ -372,7 +372,11 @@ class DevicePretrainLoader(PretrainLoader):
         if self.fused:
             raw_batch = stack_raw_examples(raws)
             assert "images" not in raw_batch
-            raw_batch["images"] = imgs  # cast to bf16 inside the fused step
+            if self.use_bfloat16:
+                # cast host-side: images dominate the host->device bytes
+                # (the in-graph cast would re-do this as a no-op)
+                imgs = imgs.astype(jnp.bfloat16)
+            raw_batch["images"] = imgs
             return raw_batch
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                  self._batch_counter)

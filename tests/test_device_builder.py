@@ -303,3 +303,37 @@ def test_device_loader_end_to_end(cfg, tmp_path):
     for k in b:
         np.testing.assert_array_equal(np.asarray(b[k]), np.asarray(again[k]),
                                       err_msg=k)
+
+
+def test_fused_loader_host_bf16_cast(cfg, tmp_path):
+    """DevicePretrainLoader(fused=True, use_bfloat16=True) casts images to
+    bf16 ON HOST (halving the dominant host->device bytes); every other raw
+    array keeps its host dtype and the trainer's in-graph cast is a no-op."""
+    import jax.numpy as jnp
+
+    from merlot_reserve_tpu.data.loader import DevicePretrainLoader
+
+    path = os.path.join(tmp_path, "c.tfrecord")
+    write_synthetic_corpus(path, cfg, num_records=2, seed=3)
+
+    def first_batch(use_bfloat16):
+        loader = DevicePretrainLoader([path], cfg, batch_size=2, seed=0,
+                                      num_workers=1, repeat=False, fused=True,
+                                      use_bfloat16=use_bfloat16)
+        it = iter(loader)
+        try:
+            return next(it)
+        finally:
+            it.close()
+
+    b16 = first_batch(True)
+    f32 = first_batch(False)
+    assert b16["images"].dtype == jnp.bfloat16
+    assert f32["images"].dtype == np.float32
+    np.testing.assert_array_equal(
+        np.asarray(b16["images"], np.float32),
+        np.asarray(f32["images"].astype(jnp.bfloat16), np.float32))
+    for k in f32:
+        if k != "images":
+            assert b16[k].dtype == f32[k].dtype, k
+            np.testing.assert_array_equal(b16[k], f32[k], err_msg=k)
