@@ -73,6 +73,15 @@ class ModelConfig:
     # attention_impl. None = no override.
     joint_attention_impl: "str | None" = None
     gradient_checkpoint: bool = False
+    # Selective remat: a jax.checkpoint_policies name (e.g. 'dots_saveable'
+    # keeps matmul outputs in HBM and recomputes only the cheap
+    # elementwise/LN/softmax work in backward) applied when
+    # gradient_checkpoint=True. None = save nothing (full remat, the
+    # measured ~45%-cost default); policies buy back most of that cost for
+    # part of the memory win. Production lever for memory-bound configs
+    # (large models / long sequences) — base scale should stay no-remat
+    # (BASELINE.md).
+    gradient_checkpoint_policy: "str | None" = None
     # scan over transformer layers (compile 1 layer body instead of N).
     # Param layout: stacked [L, ...] under 'layers'; checkpoint IO converts
     # to/from the reference's per-layer naming.

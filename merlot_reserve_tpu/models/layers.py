@@ -143,6 +143,22 @@ class TransformerLayer(nn.Module):
         return x
 
 
+def resolve_remat_policy(name):
+    """Map a config string to a jax.checkpoint policy callable.
+
+    Names are exactly the ``jax.checkpoint_policies`` attributes
+    ('dots_saveable', 'dots_with_no_batch_dims_saveable',
+    'everything_saveable', ...); None means save nothing (full remat)."""
+    if name is None:
+        return None
+    policy = getattr(jax.checkpoint_policies, name, None)
+    if policy is None or not callable(policy):
+        raise ValueError(
+            f"unknown remat policy {name!r}; pick an attribute of "
+            "jax.checkpoint_policies (e.g. 'dots_saveable')")
+    return policy
+
+
 class TransformerEncoder(nn.Module):
     """1-D pre-LN encoder with optional CLS token, rotary or learned PE, and
     label-vector attention masking (modeling.py:283-376).
@@ -163,6 +179,9 @@ class TransformerEncoder(nn.Module):
     attention_impl: str = "auto"
     rotary_sign_quirk: bool = True
     remat: bool = False
+    # selective remat: jax.checkpoint_policies name resolved at trace time
+    # (None = save nothing). Only meaningful with remat=True.
+    remat_policy: Optional[str] = None
     # lax.scan over layers: XLA compiles ONE layer body instead of num_layers
     # copies (an order of magnitude faster compiles for deep towers; same
     # steady-state). Param layout becomes stacked [num_layers, ...] under
@@ -286,11 +305,14 @@ class TransformerEncoder(nn.Module):
                 segment_ids=segment_ids, attention_bias=attention_bias,
                 layer=layer_template, mesh=mesh, axis=self.pipeline_axis,
                 num_microbatches=self.pipeline_microbatches,
-                remat=self.remat)
+                remat=self.remat,
+                remat_policy=resolve_remat_policy(self.remat_policy))
         elif self.scan_layers:
             layer_cls = TransformerLayer
             if self.remat:
-                layer_cls = nn.remat(layer_cls, prevent_cse=False)
+                layer_cls = nn.remat(layer_cls, prevent_cse=False,
+                                     policy=resolve_remat_policy(
+                                         self.remat_policy))
             scan_cls = nn.scan(
                 layer_cls,
                 variable_axes={"params": 0},
@@ -305,7 +327,9 @@ class TransformerEncoder(nn.Module):
         else:
             layer_cls = TransformerLayer
             if self.remat:
-                layer_cls = nn.remat(TransformerLayer)
+                layer_cls = nn.remat(TransformerLayer,
+                                     policy=resolve_remat_policy(
+                                         self.remat_policy))
             for layer_num in range(self.num_layers):
                 x = layer_cls(name=f"layer_{layer_num:02d}", **layer_kwargs)(
                     x, sinusoids=sinusoids, is_valid=is_valid,

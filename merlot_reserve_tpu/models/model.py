@@ -95,6 +95,7 @@ class MerlotReserve(nn.Module):
             num_layers=cfg.joint_num_layers,
             add_cls_token=False,
             remat=cfg.gradient_checkpoint,
+            remat_policy=cfg.gradient_checkpoint_policy,
             seq_shard_axis=cfg.seq_shard_axis,
             pipeline_axis=cfg.pipeline_axis,
             pipeline_microbatches=cfg.pipeline_microbatches,

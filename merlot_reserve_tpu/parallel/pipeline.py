@@ -78,7 +78,8 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
                          segment_ids=None, attention_bias=None, *,
                          layer, mesh: Mesh, axis: str = "pp",
                          dp_axis: str = "dp",
-                         num_microbatches: int = 2, remat: bool = False):
+                         num_microbatches: int = 2, remat: bool = False,
+                         remat_policy=None):
     """Apply a stacked transformer layer pytree as a pipeline over ``axis``.
 
     :param stacked_params: pytree with every leaf ``[num_layers, ...]`` (the
@@ -149,7 +150,8 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
             if remat:
                 # rematerialize per layer: backward recomputes the layer
                 # instead of keeping T x L_local activations live
-                body = jax.checkpoint(body, prevent_cse=False)
+                body = jax.checkpoint(body, prevent_cse=False,
+                                      policy=remat_policy)
             h, _ = lax.scan(body, h, params_local)
             return h
 

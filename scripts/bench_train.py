@@ -3,7 +3,7 @@ scripts/bench_reference_train.py (chained lax.scan of train steps inside
 one jit; per-step = (t(N)-t(1))/(N-1); best-of-3 timings): full base
 config, all four streams, bf16-Adam.
 
-Usage: python scripts/bench_train.py [--remat] [batch ...]
+Usage: python scripts/bench_train.py [--remat] [--remat_policy=dots_saveable] [batch ...]
 """
 
 import json
@@ -24,9 +24,12 @@ def main():
     scan_unroll = 1
     config_name = "base"
     joint_attn = None  # e.g. --joint_attn=flash:128:128
+    remat_policy = None  # e.g. --remat_policy=dots_saveable
     for a in args:
         if a.startswith("--scan_unroll="):
             scan_unroll = int(a.split("=")[1])
+        if a.startswith("--remat_policy="):
+            remat_policy = a.split("=", 1)[1]
         if a.startswith("--config="):
             config_name = a.split("=")[1]
         if a.startswith("--joint_attn="):
@@ -48,6 +51,7 @@ def main():
     from merlot_reserve_tpu.utils.profiling import device_peak_flops
 
     cfg = mr.load_config(config_name, gradient_checkpoint=remat,
+                         gradient_checkpoint_policy=remat_policy,
                          scan_layers=not unroll, scan_unroll=scan_unroll,
                          joint_attention_impl=joint_attn)
     n_spans = cfg.data.num_text_spans_to_include
@@ -112,7 +116,8 @@ def main():
             "value": round(segs, 1), "unit": "segments/s/chip",
             "per_chip_batch": bsz, "step_ms": round(step_s * 1e3, 1),
             "config": config_name,
-            "remat": remat, "scan_layers": not unroll,
+            "remat": remat, "remat_policy": remat_policy,
+            "scan_layers": not unroll,
             "scan_unroll": scan_unroll, "joint_attn": joint_attn,
             "mfu": round(mfu, 4) if mfu else None,
             "loss_probe": loss, "chain": n_chain,
