@@ -18,6 +18,15 @@ Usage (inside shard_map over a Mesh with an 'sp' axis):
                                axis_name='sp')
 or at the array level via ``sequence_parallel_attention`` which wraps the
 shard_map plumbing.
+
+VALIDATION STATUS: the ``lax`` and per-hop ``flash`` implementations are
+equivalence-tested on the CPU mesh (kernels in interpret mode) AND exercised
+by dryrun_multichip's dp4xsp2 layout. The single-kernel ``rdma`` ring
+(in-kernel async remote DMA + semaphore backpressure) is necessarily
+interpret-mode-tested ONLY in this environment: real ICI DMA semantics
+(remote semaphores, backpressure timing) have never executed on multi-chip
+hardware. Treat 'rdma' as experimental until it has run on a real slice;
+'lax'/'flash' are the production paths.
 """
 
 from __future__ import annotations

@@ -86,6 +86,9 @@ def verb_noun_action_accuracy(logits: np.ndarray, labels: np.ndarray,
     return out
 
 
+_WARNED_HEURISTIC_REWRITE = False
+
+
 def question_to_statement(question: str, answer_slot: str = "<|MASK|>") -> str:
     """Heuristic question->statement rewrite for mask infilling.
 
@@ -93,6 +96,16 @@ def question_to_statement(question: str, answer_slot: str = "<|MASK|>") -> str:
     GPT-3 rewrites (qa_to_infill.py); this 5-template fallback is NOT
     comparable — accuracy measured through it will differ from published
     MSRVTT-QA results. Supply your own rewrites for benchmark parity."""
+    global _WARNED_HEURISTIC_REWRITE
+    if not _WARNED_HEURISTIC_REWRITE:
+        import warnings
+
+        warnings.warn(
+            "question_to_statement uses a heuristic template rewrite; the "
+            "reference's MSRVTT-QA numbers used offline GPT-3 rewrites "
+            "(qa_to_infill.py) — accuracies are NOT comparable. Supply your "
+            "own statement rewrites for benchmark parity.")
+        _WARNED_HEURISTIC_REWRITE = True
     q = question.strip().rstrip("?").lower()
     for prefix, template in [
         ("what is ", "{rest} is " + answer_slot),
