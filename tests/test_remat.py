@@ -30,6 +30,39 @@ def test_remat_grads_match(scan, policy):
     np.testing.assert_allclose(np.asarray(g_ckpt), np.asarray(g_plain), atol=1e-5)
 
 
+def test_remat_policy_changes_saved_residuals():
+    """The policy knob must actually change WHAT is saved, not just stay
+    numerically equal: XLA's buffer assignment for the grad computation
+    should allocate more live temp memory with 'everything_saveable'
+    (== no recompute) than with save-nothing full remat, with
+    'dots_saveable' in between or equal to the larger. Uses a long
+    sequence so activation residuals dominate parameter buffers."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 256, 64).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1, 1, (1, 256, 1)).astype(np.float32))
+
+    def temp_bytes(policy):
+        enc = TransformerEncoder(hidden_size=64, num_layers=4,
+                                 size_per_head=32, scan_layers=True,
+                                 remat=True, remat_policy=policy)
+        params = enc.init(jax.random.PRNGKey(0), x, rotary_coords=coords)
+
+        def loss(p, x_):
+            return (enc.apply(p, x_, rotary_coords=coords)["seq"] ** 2).sum()
+
+        compiled = jax.jit(jax.grad(loss)).lower(params, x).compile()
+        mem = compiled.memory_analysis()
+        assert mem is not None, "XLA memory analysis unavailable"
+        return int(mem.temp_size_in_bytes)
+
+    save_nothing = temp_bytes(None)
+    save_dots = temp_bytes("dots_saveable")
+    save_all = temp_bytes("everything_saveable")
+    assert save_nothing < save_all, (save_nothing, save_all)
+    assert save_nothing < save_dots <= save_all + 1, (
+        save_nothing, save_dots, save_all)
+
+
 def test_remat_policy_unknown_name_raises():
     from merlot_reserve_tpu.models.layers import resolve_remat_policy
 
