@@ -5,6 +5,7 @@ reference's printf-tracing (SURVEY.md §5: `jax_log_compiles` + flush prints).
 from __future__ import annotations
 
 import contextlib
+import dataclasses
 import json
 import time
 from typing import Dict, Iterator, Optional
@@ -60,6 +61,123 @@ def log_jsonl(path: str, record: Dict):
     """Append one JSON line (metrics stream consumable by any dashboard)."""
     with open(path, "a") as f:
         f.write(json.dumps(record) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Device-event trace analysis: jax.profiler trace.json.gz -> op-time tables.
+#
+# This formalizes the methodology used to verify the per-step numbers on
+# real hardware (BASELINE.md: "profile-verified 54.2 ms/step"): run work
+# under ``trace(log_dir)``, then aggregate the device-lane events of the
+# Chrome-trace dump into a per-op table. The reference has no profiling
+# subsystem at all (SURVEY.md §5 — printf tracing); this is the
+# first-class replacement, and it works through the axon relay.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TraceEvent:
+    """One complete ('ph'=='X') Chrome-trace event."""
+
+    name: str
+    lane: str        # process name (e.g. '/device:TPU:0 …' or host lane)
+    thread: str
+    start_us: float
+    dur_us: float
+    args: Dict
+
+
+def find_trace_files(log_dir: str):
+    """All *.trace.json.gz files under a ``trace(log_dir)`` dump, newest
+    first (jax.profiler writes log_dir/plugins/profile/<run>/<host>.trace.json.gz)."""
+    import glob
+    import os
+
+    paths = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    return sorted(paths, key=os.path.getmtime, reverse=True)
+
+
+def load_trace_events(log_dir: str):
+    """Parse the newest trace dump under ``log_dir`` into TraceEvents.
+
+    Resolves pid/tid metadata ('M' events) to human lane/thread names so
+    callers can filter device lanes by substring."""
+    import gzip
+
+    paths = find_trace_files(log_dir)
+    if not paths:
+        raise FileNotFoundError(f"no *.trace.json.gz under {log_dir}")
+    with gzip.open(paths[0], "rt") as f:
+        raw = json.load(f)
+    trace_events = raw.get("traceEvents", raw if isinstance(raw, list) else [])
+
+    pid_names, tid_names = {}, {}
+    for ev in trace_events:
+        if ev.get("ph") == "M":
+            if ev.get("name") == "process_name":
+                pid_names[ev.get("pid")] = ev.get("args", {}).get("name", "")
+            elif ev.get("name") == "thread_name":
+                tid_names[(ev.get("pid"), ev.get("tid"))] = (
+                    ev.get("args", {}).get("name", ""))
+
+    out = []
+    for ev in trace_events:
+        if ev.get("ph") != "X":
+            continue
+        pid = ev.get("pid")
+        out.append(TraceEvent(
+            name=ev.get("name", ""),
+            lane=pid_names.get(pid, str(pid)),
+            thread=tid_names.get((pid, ev.get("tid")), str(ev.get("tid"))),
+            start_us=float(ev.get("ts", 0.0)),
+            dur_us=float(ev.get("dur", 0.0)),
+            args=ev.get("args", {}) or {}))
+    return out
+
+
+def op_time_table(events, lane_filter: Optional[str] = None,
+                  top: Optional[int] = 20):
+    """Aggregate events into a per-op-name table sorted by total time.
+
+    :param events: TraceEvents (or a log_dir string — loaded for you)
+    :param lane_filter: case-insensitive substring of the lane name
+        ('tpu' selects the device lanes on hardware; None = all lanes)
+    :param top: keep the top-N rows (None = all)
+    :returns: list of dicts {name, total_ms, count, mean_us, pct} where
+        pct is of the filtered lanes' summed event time.
+    """
+    if isinstance(events, str):
+        events = load_trace_events(events)
+    if lane_filter is not None:
+        needle = lane_filter.lower()
+        events = [e for e in events if needle in e.lane.lower()]
+    agg: Dict[str, list] = {}
+    for e in events:
+        slot = agg.setdefault(e.name, [0.0, 0])
+        slot[0] += e.dur_us
+        slot[1] += 1
+    total_us = sum(v[0] for v in agg.values()) or 1.0
+    rows = [{"name": name, "total_ms": dur / 1e3, "count": n,
+             "mean_us": dur / n, "pct": 100.0 * dur / total_us}
+            for name, (dur, n) in agg.items()]
+    rows.sort(key=lambda r: -r["total_ms"])
+    return rows[:top] if top else rows
+
+
+def trace_wall_ms(events, lane_filter: Optional[str] = None) -> float:
+    """Wall-clock span (max end - min start) of the filtered lanes —
+    the per-step device time when the trace brackets exactly one step."""
+    if isinstance(events, str):
+        events = load_trace_events(events)
+    if lane_filter is not None:
+        needle = lane_filter.lower()
+        events = [e for e in events if needle in e.lane.lower()]
+    if not events:
+        return 0.0
+    start = min(e.start_us for e in events)
+    end = max(e.start_us + e.dur_us for e in events)
+    return (end - start) / 1e3
 
 
 # ---------------------------------------------------------------------------

@@ -138,3 +138,71 @@ def test_async_checkpointer_matches_sync(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["params"]["w"]),
         np.arange(6, dtype=np.float32).reshape(2, 3))
+
+
+def _write_fake_trace(log_dir):
+    """Minimal Chrome-trace dump in jax.profiler's on-disk layout."""
+    import gzip
+
+    run = os.path.join(log_dir, "plugins", "profile", "2026_08_17")
+    os.makedirs(run)
+    events = [
+        {"ph": "M", "pid": 1, "name": "process_name",
+         "args": {"name": "/device:TPU:0 (pf)"}},
+        {"ph": "M", "pid": 2, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "M", "pid": 1, "tid": 7, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "X", "pid": 1, "tid": 7, "name": "fusion.1",
+         "ts": 100.0, "dur": 300.0},
+        {"ph": "X", "pid": 1, "tid": 7, "name": "fusion.1",
+         "ts": 500.0, "dur": 100.0},
+        {"ph": "X", "pid": 1, "tid": 7, "name": "copy.2",
+         "ts": 650.0, "dur": 50.0},
+        {"ph": "X", "pid": 2, "tid": 1, "name": "host_thing",
+         "ts": 0.0, "dur": 1000.0},
+    ]
+    with gzip.open(os.path.join(run, "host.trace.json.gz"), "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+
+def test_trace_op_table_and_wall(tmp_path):
+    from merlot_reserve_tpu.utils.profiling import (load_trace_events,
+                                                    op_time_table,
+                                                    trace_wall_ms)
+
+    _write_fake_trace(str(tmp_path))
+    events = load_trace_events(str(tmp_path))
+    assert len(events) == 4  # X events only
+    table = op_time_table(events, lane_filter="tpu")
+    assert [r["name"] for r in table] == ["fusion.1", "copy.2"]
+    assert table[0]["count"] == 2
+    np.testing.assert_allclose(table[0]["total_ms"], 0.4)
+    np.testing.assert_allclose(table[0]["pct"] + table[1]["pct"], 100.0)
+    # device lane spans ts 100 -> 700
+    np.testing.assert_allclose(trace_wall_ms(events, "tpu"), 0.6)
+    # unfiltered includes the host lane
+    assert len(op_time_table(events, top=None)) == 3
+
+
+def test_trace_live_roundtrip(tmp_path):
+    """trace() -> real jax.profiler dump -> parses into events."""
+    import jax
+    import jax.numpy as jnp
+
+    from merlot_reserve_tpu.utils.profiling import (find_trace_files,
+                                                    load_trace_events,
+                                                    op_time_table, trace)
+
+    @jax.jit
+    def f(x):
+        return (x @ x).sum()
+
+    x = jnp.ones((128, 128))
+    float(f(x))  # compile outside the trace
+    with trace(str(tmp_path)):
+        float(f(x))
+    assert find_trace_files(str(tmp_path))
+    events = load_trace_events(str(tmp_path))
+    assert events, "no complete events in live trace"
+    assert op_time_table(events, top=5)
