@@ -77,8 +77,9 @@ class ModelConfig:
     # keeps matmul outputs in HBM and recomputes only the cheap
     # elementwise/LN/softmax work in backward) applied when
     # gradient_checkpoint=True. None = save nothing (full remat, the
-    # measured ~45%-cost default); policies buy back most of that cost for
-    # part of the memory win. Production lever for memory-bound configs
+    # measured ~45%-cost worst case); a policy avoids recomputing the
+    # expensive dots at the price of part of the memory win (measure with
+    # scripts/bench_train.py). Production lever for memory-bound configs
     # (large models / long sequences) — base scale should stay no-remat
     # (BASELINE.md).
     gradient_checkpoint_policy: "str | None" = None
