@@ -85,17 +85,18 @@ class DeviceExampleBuilder:
         self.RTL = raw_text_len
         self.n_trg = int(self.N * d.mask_rate)
         self.span_len = cfg.model.text_span_length
-        # static flat-stream bound for fake text segmentation (same formula
-        # the device op uses for its row bound)
-        from merlot_reserve_tpu.data.masking import _WEIGHTS_V2
+        # static flat-stream bound for fake text segmentation — shared with
+        # convert_rawtext_into_fake_segments' row bound (single source)
+        from merlot_reserve_tpu.ops.masking_device import rawtext_flat_bound
 
-        ev = float((np.arange(len(_WEIGHTS_V2)) * np.asarray(_WEIGHTS_V2)
-                    ).sum()) + 1.0
-        self.rt_flat_bound = d.seq_len + int((ev * 0.85 - 1) * d.text_span_budget)
+        self.rt_flat_bound = rawtext_flat_bound(d.seq_len, d.text_span_budget)
         # a subsegment row can hold a whole segment's tokens plus donation
         # (<=2) and widening (<=2) boundary moves
         self.max_row = max(self.TM + 4, cfg.model.audio_token_length,
                            self.span_len)
+        # host_prepare's truncate-and-report contract: segments with more
+        # than max_tokens_per_segment ASR tokens are clipped and counted here
+        self.stats = {"truncated_segments": 0, "truncated_tokens": 0}
         self._mask_tbl = jnp.asarray(token_is_valid_table())
 
         enc = get_tokenizer()
@@ -139,7 +140,11 @@ class DeviceExampleBuilder:
             spec_u8[i] = spec.reshape(d.num_mels, d.spec_size).T
             magic[i] = float(_scalar(seg["spectrogram/magic_number"], 1.0))
             playback[i] = float(_scalar(seg.get("playback_speed", [1]), 1))
-            ids = np.asarray(seg.get("tok_ids", np.zeros(0, np.int64)))[:TM]
+            ids_full = np.asarray(seg.get("tok_ids", np.zeros(0, np.int64)))
+            if len(ids_full) > TM:  # report: contract is truncate-and-count
+                self.stats["truncated_segments"] += 1
+                self.stats["truncated_tokens"] += len(ids_full) - TM
+            ids = ids_full[:TM]
             tok_ids[i, :len(ids)] = ids
             tok_num[i] = len(ids)
             ts = np.asarray(seg.get("tok_start_times", np.zeros(0)))[:TM]

@@ -171,7 +171,11 @@ def screen_video(meta: Dict, transcript: List[Dict], *,
         return info
 
     duration = float(meta.get("duration") or 0.0)
-    if duration <= 0 or duration > max_duration_min * 60:
+    if duration <= 0:
+        # distinct reason: live streams / partial metadata report no duration
+        info["fail_reason"] = "unknown duration"
+        return info
+    if duration > max_duration_min * 60:
         info["fail_reason"] = "video too long"
         return info
 

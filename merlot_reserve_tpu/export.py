@@ -97,6 +97,7 @@ def export_serving_artifact(model, params, example_video: Dict, path: str,
         "batch_size": batch_size,
         "num_options": num_options,
         "span_length": span_len,
+        "hidden_size": int(model.config.hidden_size),
         "input_shapes": {k: list(np.shape(v)) for k, v in batch.items()},
         "input_dtypes": {k: str(np.asarray(v).dtype) for k, v in batch.items()},
     }
@@ -121,6 +122,8 @@ class ExportedVideoService:
 
     def embed(self, video_pres: Sequence[Dict]) -> np.ndarray:
         bs = self.manifest["batch_size"]
+        if not video_pres:  # empty request (e.g. fully filtered upstream)
+            return np.zeros((0, self.manifest["hidden_size"]), np.float32)
         assert len(video_pres) <= bs, (len(video_pres), bs)
         pad = bs - len(video_pres)
         stack = {k: np.stack([np.asarray(v[k]) for v in video_pres] +
@@ -135,6 +138,8 @@ class ExportedVideoService:
 
     def embed_stream(self, video_pres: Sequence[Dict]) -> np.ndarray:
         bs = self.manifest["batch_size"]
+        if not video_pres:
+            return self.embed([])
         return np.concatenate([self.embed(video_pres[i:i + bs])
                                for i in range(0, len(video_pres), bs)], 0)
 

@@ -154,6 +154,22 @@ def increase_textmask(row_lengths, masked, tok_centroids, audio_start_end, key,
 # ---------------------------------------------------------------------------
 
 
+def rawtext_flat_bound(desired_len: int, span_budget: int,
+                       use_v1_stats: bool = False) -> int:
+    """Static bound on the raw-text flat stream / fake-segment row count:
+    ``L_target = desired_len + (E[span_len]*0.85 - 1) * span_budget``.
+
+    THE single source of this formula — convert_rawtext_into_fake_segments
+    sizes its row table with it and DeviceExampleBuilder sizes its
+    random-text vals buffer with it; they must stay in sync or row tails
+    read clipped garbage with no error."""
+    from merlot_reserve_tpu.data.masking import _WEIGHTS_V1, _WEIGHTS_V2
+
+    w = np.asarray(_WEIGHTS_V1 if use_v1_stats else _WEIGHTS_V2)
+    ev = float((np.arange(len(w)) * w).sum()) + 1.0
+    return desired_len + int((ev * 0.85 - 1) * span_budget)
+
+
 def convert_rawtext_into_fake_segments(key, tokens, n_tokens, desired_len: int,
                                        span_budget: int,
                                        use_v1_stats: bool = False):
@@ -171,10 +187,7 @@ def convert_rawtext_into_fake_segments(key, tokens, n_tokens, desired_len: int,
 
     weights = jnp.asarray(_WEIGHTS_V1 if use_v1_stats else _WEIGHTS_V2,
                           jnp.float32)
-    ev = float((np.arange(len(weights))
-                * np.asarray(_WEIGHTS_V1 if use_v1_stats else _WEIGHTS_V2)
-                ).sum()) + 1.0
-    L_target = desired_len + int((ev * 0.85 - 1) * span_budget)
+    L_target = rawtext_flat_bound(desired_len, span_budget, use_v1_stats)
 
     k1, k2 = jax.random.split(key)
     L = jnp.minimum(L_target, n_tokens)

@@ -61,16 +61,20 @@ def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
         from jax.experimental import mesh_utils
 
         assert dp % dcn_dp == 0, f"dp={dp} not divisible by {dcn_dp} slices"
-        try:
+        if any(getattr(d, "slice_index", None) is not None for d in devices):
+            # real multi-slice topology: order devices so only the
+            # outermost dp factor crosses DCN. Errors here (e.g. dcn_dp
+            # not matching the actual slice count) must PROPAGATE — a
+            # silent contiguous fallback would route sp/pp/tp collectives
+            # over DCN while looking like a working config.
             hybrid = mesh_utils.create_hybrid_device_mesh(
                 mesh_shape=(dp // dcn_dp, sp, pp, tp),
                 dcn_mesh_shape=(dcn_dp, 1, 1, 1),
                 devices=devices)
-        except ValueError:
+        else:
             # virtual/CPU devices carry no slice_index attribute — there is
             # no DCN topology to order against, so the plain contiguous
-            # reshape below (outermost dp factor = "slices") is equivalent;
-            # real multi-slice TPU devices always take the hybrid path
+            # reshape (outermost dp factor = "slices") is equivalent
             hybrid = np.asarray(devices)
         return Mesh(hybrid.reshape(dp, sp, pp, tp),
                     axis_names=("dp", "sp", "pp", "tp"))

@@ -110,7 +110,8 @@ def load_trace_events(log_dir: str):
         raise FileNotFoundError(f"no *.trace.json.gz under {log_dir}")
     with gzip.open(paths[0], "rt") as f:
         raw = json.load(f)
-    trace_events = raw.get("traceEvents", raw if isinstance(raw, list) else [])
+    trace_events = (raw.get("traceEvents", [])
+                    if isinstance(raw, dict) else raw)
 
     pid_names, tid_names = {}, {}
     for ev in trace_events:

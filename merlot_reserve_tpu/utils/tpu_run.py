@@ -113,8 +113,11 @@ class TPUCreator:
         "-f https://storage.googleapis.com/jax-releases/libtpu_releases.html",
         "pip install --upgrade flax optax orbax-checkpoint chex einops "
         "tokenizers pillow numpy pyyaml requests",
-        # optional extras (tracking + cloud IO); failures are non-fatal
-        "pip install --upgrade wandb google-cloud-storage || true",
+        # optional extras (tracking + cloud IO); failures are non-fatal.
+        # Parenthesized: bare `|| true` in the ` && `-joined chain would
+        # bind to the WHOLE preceding chain (&&/|| are left-associative,
+        # equal precedence) and mask jax/flax install failures too.
+        "(pip install --upgrade wandb google-cloud-storage || true)",
         # 32 GiB, matching tpu_startup_script.sh:16
         "grep -q TCMALLOC_LARGE_ALLOC_REPORT_THRESHOLD ~/.bashrc || "
         "echo 'export TCMALLOC_LARGE_ALLOC_REPORT_THRESHOLD=34359738368' "
