@@ -64,8 +64,11 @@ class ModelConfig:
     # 'flash' = Pallas fused attention on TPU, 'xla' = plain einsum attention.
     # 'auto' picks flash on TPU when shapes allow. 'flash:BQ:BK' pins the
     # kernel block sizes. 'ring' (/'ring:lax|flash|rdma[:AXIS]') runs true
-    # ring attention over the active mesh's sp axis (pair with
-    # seq_shard_axis; falls back to dense when no mesh/axis is active).
+    # ring attention over the active mesh's sp axis; 'ulysses'
+    # (/'ulysses:xla|flash[:AXIS]') trades the sequence sharding for a head
+    # sharding with one all_to_all instead (needs num_heads % axis == 0,
+    # differentiable with both inners). Pair either with seq_shard_axis;
+    # both fall back to dense when no mesh/axis is active.
     attention_impl: str = "auto"
     # Override for the JOINT transformer only (the L=640 hot path) —
     # flash there trades per-op speed for O(L^2)-free activation memory

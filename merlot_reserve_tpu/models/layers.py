@@ -287,10 +287,10 @@ class TransformerEncoder(nn.Module):
             # read off this module's bound scope.
             assert self.scan_layers, "pipeline_axis requires scan_layers=True"
             assert len(batch_dims) == 1, "pipeline expects [B, L, H] input"
-            assert not resolved_impl.startswith("ring"), (
-                "attention_impl='ring' can't run inside the pipeline's "
-                "shard_map region (nested shard_map) — use GSPMD "
-                "seq_shard_axis with pp, or ring without pp")
+            assert not resolved_impl.startswith(("ring", "ulysses")), (
+                "attention_impl='ring'/'ulysses' can't run inside the "
+                "pipeline's shard_map region (nested shard_map) — use GSPMD "
+                "seq_shard_axis with pp, or ring/ulysses without pp")
             from merlot_reserve_tpu.parallel.mesh import current_mesh
             from merlot_reserve_tpu.parallel.pipeline import pipeline_transformer
 

@@ -27,6 +27,13 @@ fallback.
     an active mesh (parallel.mesh.activate_mesh); degenerates to the dense
     path when the axis is absent or size 1, so a config with
     joint_attention_impl='ring' still runs single-chip.
+  * 'ulysses': sequence parallelism by all_to_all head sharding
+    (ops/ring_attention.py::ulysses_attention) — 'ulysses' / 'ulysses:xla'
+    (dense inner) or 'ulysses:flash' (Pallas inner), optionally
+    'ulysses:INNER:AXIS'. O(1) collectives per call vs the ring's O(n)
+    hops; needs num_heads % axis_size == 0; differentiable with BOTH
+    inners (all_to_all transposes to all_to_all; the flash kernel has a
+    custom_vjp). Same no-mesh dense fallback as 'ring'.
 """
 
 from __future__ import annotations
@@ -477,24 +484,31 @@ def attention(q, k, v, *, is_valid=None, segment_ids=None, bias=None, impl: str 
         L, impl, has_bias=bias is not None,
         has_labels=is_valid is not None or segment_ids is not None)
 
-    if impl.startswith("ring"):
+    if impl.startswith(("ring", "ulysses")):
         assert bias is None, (
-            "ring attention consumes per-position labels, not a dense bias "
-            "— pass is_valid/segment_ids or use impl='xla'")
+            "sequence-parallel attention consumes per-position labels, not "
+            "a dense bias — pass is_valid/segment_ids or use impl='xla'")
         from merlot_reserve_tpu.ops.ring_attention import (
             sequence_parallel_attention,
         )
         from merlot_reserve_tpu.parallel.mesh import current_mesh
 
         parts = impl.split(":")
-        sub = parts[1] if len(parts) > 1 else "lax"
-        axis = parts[2] if len(parts) > 2 else "sp"
+        if parts[0] == "ulysses":
+            # 'ulysses[:xla|flash][:AXIS]' -> 'ulysses' / 'ulysses-flash'
+            sub = "ulysses-flash" if "flash" in parts[1:2] else "ulysses"
+            axis = parts[2] if len(parts) > 2 else (
+                parts[1] if len(parts) > 1 and parts[1] not in ("xla", "flash")
+                else "sp")
+        else:
+            sub = parts[1] if len(parts) > 1 else "lax"
+            axis = parts[2] if len(parts) > 2 else "sp"
         mesh = current_mesh()
         if mesh is not None and mesh.shape.get(axis, 1) > 1:
             return sequence_parallel_attention(
                 mesh, q, k, v, is_valid=is_valid, segment_ids=segment_ids,
                 axis_name=axis, impl=sub, interpret=interpret)
-        impl = "xla"  # no sequence axis to ring over
+        impl = "xla"  # no sequence axis to shard over
 
     if impl.startswith("flash"):
         assert bias is None, (

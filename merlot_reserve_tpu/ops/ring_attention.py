@@ -1,4 +1,4 @@
-"""Ring attention: sequence-parallel exact attention over a mesh axis.
+"""Ring + Ulysses attention: sequence-parallel exact attention over a mesh axis.
 
 The reference handles long video context structurally (pooling, segment
 groups, packing — SURVEY.md §5 "masked sequence packing, not sequence
@@ -19,9 +19,16 @@ Usage (inside shard_map over a Mesh with an 'sp' axis):
 or at the array level via ``sequence_parallel_attention`` which wraps the
 shard_map plumbing.
 
+Two sequence-parallel strategies live here, selected by impl string:
+ring ('lax'/'flash'/'rdma' — K/V rotate past fixed local queries, O(n) hops)
+and Ulysses ('ulysses'/'ulysses-flash' — one all_to_all trades the sequence
+sharding for a head sharding, O(1) collectives per call; needs
+num_heads % n == 0 and is differentiable with both inners).
+
 VALIDATION STATUS: the ``lax`` and per-hop ``flash`` implementations are
 equivalence-tested on the CPU mesh (kernels in interpret mode) AND exercised
-by dryrun_multichip's dp4xsp2 layout. The single-kernel ``rdma`` ring
+by dryrun_multichip's dp4xsp2 layout; ``ulysses``/``ulysses-flash`` are
+equivalence- and grad-tested on the CPU mesh. The single-kernel ``rdma`` ring
 (in-kernel async remote DMA + semaphore backpressure) is necessarily
 interpret-mode-tested ONLY in this environment: real ICI DMA semantics
 (remote semaphores, backpressure timing) have never executed on multi-chip
@@ -204,6 +211,63 @@ def ring_flash_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp",
     return out.astype(q.dtype)
 
 
+def ulysses_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp",
+                      inner: str = "xla", interpret: bool = False):
+    """Ulysses-style sequence parallelism: trade the sequence sharding for a
+    HEAD sharding with one ``all_to_all``, run exact attention locally over
+    the full sequence with H/n heads, and swap back.
+
+    Communication per call is 4 all_to_alls of the local activation size
+    (q, k, v in; out back) plus an all_gather of the [B, L/n] int labels —
+    independent of the ring length — versus the ring's (n-1) K/V+label
+    rotations. Prefer ulysses when num_heads % n == 0 and the shard count is
+    large (communication O(1) vs O(n) hops); prefer ring when heads don't
+    divide or when the O(L) full-sequence score rows per head must also be
+    avoided. Unlike the per-hop 'flash' ring (forward-only merge), BOTH
+    ulysses inners differentiate end-to-end: all_to_all's transpose is
+    all_to_all and the local attention is either XLA (native AD) or the
+    Pallas flash kernel (custom_vjp with the tuned backward kernels).
+
+    All arguments are LOCAL shards (call under shard_map):
+      q, k, v: [B, L/n, H, D]; is_valid/segment_ids: [B, L/n]
+    :return: [B, L/n, H, D] in q.dtype
+
+    No reference counterpart (the reference caps sequences at 1024 and packs
+    instead — SURVEY.md §5); capability peer of ring_attention above.
+    """
+    def swap_in(x):  # [B, L/n, H, D] -> [B, L, H/n, D]
+        return lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
+                              tiled=True)
+
+    qg, kg, vg = swap_in(q), swap_in(k), swap_in(v)
+    valid_g = lax.all_gather(is_valid.astype(jnp.int32), axis_name, axis=1,
+                             tiled=True)
+    seg_g = lax.all_gather(segment_ids.astype(jnp.int32), axis_name, axis=1,
+                           tiled=True)
+
+    # lazy import: ops.attention imports this module lazily for the same
+    # reason (the two are mutually-recursive capability layers)
+    if inner == "flash":
+        from merlot_reserve_tpu.ops.attention import (
+            _FLASH_BLOCK_K, _FLASH_BLOCK_Q, _auto_block, flash_attention,
+        )
+
+        L = qg.shape[1]
+        Lp = int(np.ceil(L / 128) * 128)
+        out = flash_attention(qg, kg, vg, valid_g, seg_g,
+                              _auto_block(Lp, _FLASH_BLOCK_Q),
+                              _auto_block(Lp, _FLASH_BLOCK_K), interpret)
+    else:
+        from merlot_reserve_tpu.ops.attention import (
+            make_attention_bias, xla_attention,
+        )
+
+        out = xla_attention(qg, kg, vg, make_attention_bias(
+            is_valid=valid_g, segment_ids=seg_g, dtype=jnp.float32))
+    return lax.all_to_all(out.astype(q.dtype), axis_name, split_axis=1,
+                          concat_axis=2, tiled=True)
+
+
 def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
                                 axis_name: str = "sp", impl: str = "lax",
                                 interpret: bool = False):
@@ -212,8 +276,10 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
 
     impl: 'lax' (differentiable, ppermute+scan online-softmax), 'flash'
     (Pallas kernel per ring step with the permute overlapped; forward-only),
-    or 'rdma' (single Pallas kernel, in-kernel async remote DMA ring;
-    forward-only, VMEM-bounded shard size).
+    'rdma' (single Pallas kernel, in-kernel async remote DMA ring;
+    forward-only, VMEM-bounded shard size), or 'ulysses' /
+    'ulysses-flash' (all_to_all head sharding, differentiable with either
+    inner; needs num_heads % n == 0).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -241,6 +307,16 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
     elif impl == "flash":
         body = functools.partial(ring_flash_attention, axis_name=axis_name,
                                  interpret=interpret)
+    elif impl.startswith("ulysses"):
+        H_heads = q.shape[2]
+        assert H_heads % n == 0, (
+            f"ulysses attention shards heads over '{axis_name}': num_heads="
+            f"{H_heads} not divisible by {axis_name}={n} — use impl='lax' "
+            "(ring) for non-dividing head counts")
+        body = functools.partial(
+            ulysses_attention, axis_name=axis_name,
+            inner="flash" if impl.endswith("flash") else "xla",
+            interpret=interpret)
     else:
         body = functools.partial(ring_attention, axis_name=axis_name)
     specs = dict(in_specs=(qkv_spec, qkv_spec, qkv_spec, lbl_spec, lbl_spec),
@@ -249,7 +325,8 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
         # pallas_call's out_shape carries no varying-mesh-axes annotation;
         # disable the vma check for the kernel paths
         fn = jax.shard_map(body, mesh=mesh,
-                           check_vma=impl not in ("flash", "rdma"), **specs)
+                           check_vma=impl not in ("flash", "rdma",
+                                                  "ulysses-flash"), **specs)
     else:  # older JAX
         from jax.experimental.shard_map import shard_map
 

@@ -265,3 +265,159 @@ def test_ring_scan_drops_last_hop(sp_mesh):
                 ring_scans.append(eqn.params["length"])
     assert ring_scans, "expected a ppermute-rotating scan in the ring jaxpr"
     assert all(length == n - 1 for length in ring_scans), ring_scans
+
+
+# ---------------------------------------------------------------------------
+# Ulysses (all_to_all head sharding)
+# ---------------------------------------------------------------------------
+
+
+def test_ulysses_matches_full(sp_mesh):
+    """Head-sharded all_to_all sequence parallelism vs full attention,
+    packed segments + padding. H=4 heads over 4 shards = 1 head/device."""
+    rng = np.random.RandomState(10)
+    B, L, H, D = 2, 64, 4, 16
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(B, L) > 0.2)
+    segs = jnp.asarray(np.sort(rng.randint(0, 3, (B, L)), -1))
+
+    out_u = sequence_parallel_attention(sp_mesh, q, k, v, valid, segs,
+                                        impl="ulysses")
+    out_full = xla_attention(q, k, v, make_attention_bias(is_valid=valid,
+                                                          segment_ids=segs))
+    mask = np.asarray(valid)[..., None, None]
+    np.testing.assert_allclose(np.asarray(out_u) * mask,
+                               np.asarray(out_full) * mask, atol=2e-5)
+
+
+def test_ulysses_flash_inner_matches_full(sp_mesh):
+    """ulysses-flash: the Pallas kernel (interpret mode) runs the local
+    full-sequence attention after the head swap."""
+    rng = np.random.RandomState(11)
+    B, L, H, D = 1, 128, 4, 16
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    valid = np.ones((B, L), bool)
+    valid[0, 100:] = False
+    segs = np.zeros((B, L), np.int32)
+    segs[0, 51:] = 1  # boundary off the shard grid
+
+    out_u = sequence_parallel_attention(
+        sp_mesh, q, k, v, jnp.asarray(valid), jnp.asarray(segs),
+        impl="ulysses-flash", interpret=True)
+    out_full = xla_attention(
+        q, k, v, make_attention_bias(is_valid=jnp.asarray(valid),
+                                     segment_ids=jnp.asarray(segs)))
+    mask = valid[..., None, None]
+    np.testing.assert_allclose(np.asarray(out_u) * mask,
+                               np.asarray(out_full) * mask, atol=2e-5)
+
+
+def test_ulysses_is_differentiable(sp_mesh):
+    """Unlike the per-hop flash ring (fwd-only merge), ulysses differentiates:
+    all_to_all transposes to all_to_all and the inner attention has AD."""
+    rng = np.random.RandomState(12)
+    B, L, H, D = 1, 32, 4, 8
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+
+    def loss_u(q_):
+        return (sequence_parallel_attention(sp_mesh, q_, k, v,
+                                            impl="ulysses") ** 2).sum()
+
+    def loss_full(q_):
+        return (xla_attention(q_, k, v) ** 2).sum()
+
+    g_u = jax.grad(loss_u)(q)
+    g_full = jax.grad(loss_full)(q)
+    np.testing.assert_allclose(np.asarray(g_u), np.asarray(g_full), atol=3e-4)
+
+
+def test_ulysses_head_divisibility_asserts(sp_mesh):
+    rng = np.random.RandomState(13)
+    B, L, H, D = 1, 32, 3, 8  # 3 heads over 4 shards
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    with pytest.raises(AssertionError, match="not divisible"):
+        sequence_parallel_attention(sp_mesh, q, q, q, impl="ulysses")
+
+
+def test_ulysses_dp_sp_combined_mesh(cpu_devices):
+    """dp x sp: batch shards over dp inside the shard_map (same guard as the
+    ring) and the all_to_all stays on the sp axis."""
+    mesh = Mesh(np.asarray(cpu_devices[:8]).reshape(2, 4),
+                axis_names=("dp", "sp"))
+    rng = np.random.RandomState(14)
+    B, L, H, D = 4, 64, 4, 8
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(B, L) > 0.2)
+    segs = jnp.asarray(np.sort(rng.randint(0, 2, (B, L)), -1))
+
+    out_u = sequence_parallel_attention(mesh, q, k, v, valid, segs,
+                                        impl="ulysses")
+    out_full = xla_attention(q, k, v, make_attention_bias(is_valid=valid,
+                                                          segment_ids=segs))
+    mask = np.asarray(valid)[..., None, None]
+    np.testing.assert_allclose(np.asarray(out_u) * mask,
+                               np.asarray(out_full) * mask, atol=2e-5)
+
+
+def test_encoder_ulysses_impl_matches_dense(sp_mesh):
+    """Model-level knob: TransformerEncoder(attention_impl='ulysses',
+    seq_shard_axis='sp') under an active mesh matches the dense encoder, and
+    grads flow (the training path — ulysses is the differentiable SP choice
+    when heads divide the axis)."""
+    import jax as _jax
+
+    from merlot_reserve_tpu.models.layers import TransformerEncoder
+    from merlot_reserve_tpu.parallel.mesh import activate_mesh
+
+    rng = np.random.RandomState(15)
+    B, L, H = 2, 64, 64  # 4 heads of 16 over the 4-way sp axis
+    kw = dict(hidden_size=H, num_layers=2, size_per_head=16, rotary_hsize=8)
+    enc_dense = TransformerEncoder(**kw)
+    enc_u = TransformerEncoder(attention_impl="ulysses",
+                               seq_shard_axis="sp", **kw)
+    x = jnp.asarray(rng.randn(B, L, H).astype(np.float32))
+    coords = jnp.asarray(
+        np.broadcast_to(np.arange(L, dtype=np.float32)[None, :, None],
+                        (B, L, 1)))
+    valid = np.ones((B, L), bool)
+    valid[0, 50:] = False
+    valid = jnp.asarray(valid)
+    segs = jnp.asarray(np.sort(rng.randint(0, 2, (B, L)), -1))
+
+    params = enc_dense.init(_jax.random.PRNGKey(0), x, rotary_coords=coords,
+                            is_valid=valid, segment_ids=segs)
+    out_dense = enc_dense.apply(params, x, rotary_coords=coords,
+                                is_valid=valid, segment_ids=segs)["seq"]
+    with activate_mesh(sp_mesh):
+        out_u = _jax.jit(
+            lambda p, x_: enc_u.apply(p, x_, rotary_coords=coords,
+                                      is_valid=valid,
+                                      segment_ids=segs)["seq"]
+        )(params, x)
+    mask = np.asarray(valid)[..., None]
+    np.testing.assert_allclose(np.asarray(out_u) * mask,
+                               np.asarray(out_dense) * mask,
+                               atol=3e-5, rtol=1e-5)
+
+    def grads(fn_enc, p, jit_mesh):
+        def f(p_):
+            o = fn_enc.apply(p_, x, rotary_coords=coords, is_valid=valid,
+                             segment_ids=segs)["seq"]
+            return (jnp.where(mask, o, 0.0) ** 2).sum()
+        if jit_mesh is None:
+            return _jax.grad(f)(p)
+        with activate_mesh(jit_mesh):
+            return _jax.jit(_jax.grad(f))(p)
+
+    g_dense = grads(enc_dense, params, None)
+    g_u = grads(enc_u, params, sp_mesh)
+    for a, b in zip(_jax.tree.leaves(g_u), _jax.tree.leaves(g_dense)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

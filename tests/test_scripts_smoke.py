@@ -20,6 +20,7 @@ SCRIPTS = [
     "scripts/plan_memory.py",
     "scripts/convert_checkpoint.py",
     "scripts/export_serving.py",
+    "scripts/bench_quant_serving.py",
     "demo/demo_video.py",
     "demo/zero_shot_ek100.py",
     "demo/zero_shot_qa.py",
