@@ -354,3 +354,106 @@ def test_increase_textmask_ignores_trailing_padding():
         jnp.asarray(lens), jnp.asarray(masked), jnp.asarray(cent_pad),
         jnp.asarray(ase), key))
     np.testing.assert_array_equal(exact, padded)
+
+
+@pytest.mark.slow
+def test_fuzz_host_device_op_parity():
+    """Randomized-shape sweep over the deterministic host<->device op pairs,
+    deliberately covering the edge regimes where past bugs lived: empty
+    rows, rows at exactly max_row, all/none masked, and trailing flat-stream
+    padding (r2 advisor bug class). Seeded — failures reproduce."""
+    rng = np.random.default_rng(1234)
+    for trial in range(10):
+        n_rows = int(rng.integers(1, 20))
+        max_len = int(rng.integers(1, 9))
+        lens = rng.integers(0, max_len + 1, size=n_rows).astype(np.int64)
+        if trial == 0:
+            lens[:] = 0                     # all-empty
+        if trial == 1:
+            lens[:] = max_len               # all-full
+        vals = rng.integers(10, 30000, size=int(lens.sum())).astype(np.int64)
+        mode = trial % 3
+        masked = (np.zeros(n_rows, bool) if mode == 0 else
+                  np.ones(n_rows, bool) if mode == 1 else
+                  rng.random(n_rows) < 0.4)
+
+        for rl in (True, False):
+            r = host.Ragged(vals.copy(), lens.copy())
+            out_h = host.shift_ragged_tokens_at_positions(
+                r, np.where(masked)[0], right_to_left=rl).row_lengths
+            out_d = dev.shift_row_lengths(jnp.asarray(lens),
+                                          jnp.asarray(masked), right_to_left=rl)
+            np.testing.assert_array_equal(np.asarray(out_d), out_h,
+                                          err_msg=f"shift trial={trial} rl={rl}")
+
+            r = host.Ragged(vals.copy(), lens.copy())
+            out_h = host._reassign_one_dir(
+                r, mask_idx=np.where(masked)[0], right_to_left=rl).row_lengths
+            out_d = dev._reassign_one_dir(jnp.asarray(lens),
+                                          jnp.asarray(masked), rl)
+            np.testing.assert_array_equal(np.asarray(out_d), out_h,
+                                          err_msg=f"reassign trial={trial} rl={rl}")
+
+        # increase_textmask one-dir: needs time structure
+        L = int(lens.sum())
+        cent = np.sort(rng.uniform(0, 30, size=L))
+        starts = np.sort(rng.uniform(0, 25, size=n_rows))
+        ase = np.stack([starts, starts + float(rng.uniform(0.5, 5.0))], -1)
+        thresh = float(rng.uniform(0.1, 2.0))
+        for rl in (True, False):
+            r = host.Ragged(vals.copy(), lens.copy())
+            out_h = host._increase_one_dir(
+                r, mask_idx=np.where(masked)[0], tok_centroids_vals=cent,
+                audio_start_end=ase, delta_thresh=thresh,
+                right_to_left=rl).row_lengths
+            out_d = dev._increase_one_dir(
+                jnp.asarray(lens), jnp.asarray(masked), jnp.asarray(cent),
+                jnp.asarray(ase), thresh, rl)
+            np.testing.assert_array_equal(np.asarray(out_d), out_h,
+                                          err_msg=f"increase trial={trial} rl={rl}")
+
+
+@pytest.mark.slow
+def test_fuzz_mask_tokens_stream_parity():
+    """mask_tokens (unbudgeted) under random shapes, mask/span patterns and
+    random trailing flat padding: the device stream's valid prefix must
+    equal the host rows exactly."""
+    rng = np.random.default_rng(4321)
+    for trial in range(8):
+        n_rows = int(rng.integers(1, 12))
+        max_len = int(rng.integers(1, 8))
+        lens = rng.integers(0, max_len + 1, size=n_rows).astype(np.int64)
+        if trial == 0:
+            lens[-1] = max_len  # last row exactly full (+padding below)
+        vals = rng.integers(10, 30000, size=int(lens.sum())).astype(np.int64)
+        pad = int(rng.integers(0, 5))
+        vals_padded = np.concatenate([vals, np.zeros(pad, np.int64)])
+        masked = rng.random(n_rows) < 0.35
+        do_span = (~masked) & (rng.random(n_rows) < 0.4)
+        do_audio_mask = bool(rng.integers(0, 2))
+        atl = int(rng.integers(1, 7))
+        counter = int(rng.integers(0, 20))
+
+        r = host.Ragged(vals.copy(), lens.copy())
+        spans_h, streams_h = host.mask_tokens(
+            r, np.where(masked)[0], np.random.default_rng(0),
+            do_audio_span=do_span, audio_token_length=atl,
+            text_span_start_counter=counter, num_groups=1,
+            do_audio_mask=do_audio_mask)
+
+        spans_d, streams_d = dev.mask_tokens(
+            jax.random.PRNGKey(0), jnp.asarray(vals_padded), jnp.asarray(lens),
+            jnp.asarray(masked), max_row=max(max_len, atl),
+            do_audio_span=jnp.asarray(do_span), audio_token_length=atl,
+            text_span_start_counter=counter, do_audio_mask=do_audio_mask,
+            num_groups=1)
+
+        t, v = streams_d[0]
+        t = np.asarray(t)[np.asarray(v)]
+        np.testing.assert_array_equal(t, streams_h[0],
+                                      err_msg=f"trial={trial}")
+        spans_d = np.asarray(spans_d)
+        for k, m in enumerate(np.where(masked)[0]):
+            row = spans_h.row(k)
+            got = spans_d[m][spans_d[m] >= 0]
+            np.testing.assert_array_equal(got, row, err_msg=f"trial={trial}")
