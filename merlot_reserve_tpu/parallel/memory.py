@@ -36,13 +36,20 @@ def param_count(cfg) -> int:
 
 def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
                        zero1_dp: int = 1, pp: int = 1,
-                       flash_joint: bool = False) -> Dict[str, float]:
+                       flash_joint: bool = False, sp: int = 1) -> Dict[str, float]:
     """Per-chip HBM estimate (bytes) for one pretraining step.
 
     :param zero1_dp: dp size the Adam moments are ZeRO-1-sharded over.
     :param pp: pipeline stages — joint-layer params/moments and joint
         activations shard 1/pp per stage, plus the pipeline's microbatch
         stream buffers (parallel/pipeline.py).
+    :param sp: sequence-parallel shard count for the JOINT tower
+        (seq_shard_axis GSPMD sharding, ring, or ulysses attention): the
+        saved seq-major residuals and the attention score rows both scale
+        ~1/sp per device (the ring materializes per-hop [Lq/sp, Lk/sp]
+        scores; ulysses holds full-L scores but only heads/sp of them).
+        Coarse — no calibration point exists on this 1-chip box; treat
+        sp > 1 verdicts as ordering, not boundaries.
     :param flash_joint: joint tower uses the Pallas flash kernels — no
         materialized attention probabilities in HBM (only the [rows, H, L]
         log-sum-exp, negligible). Validated point: base batch-4 no-remat
@@ -111,8 +118,10 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
     joint_rows = B * (d.num_segment_groups * (d.num_audio2text_seqs
                                               + d.num_text2audio_seqs)
                       + 1 + d.num_text_seqs)
-    add(tower_act(joint_rows, d.seq_len, m.joint_num_layers // pp,
-                  flash=flash_joint))
+    sp = max(sp, 1)
+    j_act, j_probs = tower_act(joint_rows, d.seq_len,
+                               m.joint_num_layers // pp, flash=flash_joint)
+    add((j_act / sp, j_probs / sp))
     if pp > 1:
         # pipeline stream buffers: x_mb + outputs + carried state, each
         # [M, rows/M, L, H] bf16 per stage (dp-sharded rows)

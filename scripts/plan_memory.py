@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--zero1-dp", type=int, default=1,
                     help="dp size the Adam moments shard over (ZeRO-1)")
     ap.add_argument("--pp", type=int, default=1, help="pipeline stages")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel shards of the joint tower "
+                         "(seq_shard_axis / ring / ulysses)")
     ap.add_argument("--flash-joint", action="store_true",
                     help="joint tower on the Pallas flash kernels "
                          "(no materialized attention probs)")
@@ -48,11 +51,11 @@ def main():
     for b in args.batch:
         e = estimate_train_hbm(cfg, b, remat=args.remat,
                                zero1_dp=args.zero1_dp, pp=args.pp,
-                               flash_joint=args.flash_joint)
+                               flash_joint=args.flash_joint, sp=args.sp)
         print(json.dumps({
             "config": args.config, "per_chip_batch": b,
             "remat": args.remat, "zero1_dp": args.zero1_dp, "pp": args.pp,
-            "flash_joint": args.flash_joint,
+            "sp": args.sp, "flash_joint": args.flash_joint,
             "params_m": round(e["params"] / 1e6, 1),
             "state_gb": round(e["state_bytes"] / 1e9, 2),
             "activations_gb": round(e["activation_bytes"] / 1e9, 2),

@@ -51,3 +51,9 @@ def test_flash_and_pp_terms():
     e1 = estimate_train_hbm(cfg, 2)["total"]
     e2 = estimate_train_hbm(cfg, 2, pp=2)["total"]
     assert e2 < e1
+    # sp shards joint activations AND score rows; reduces, less than flash
+    e_sp = estimate_train_hbm(cfg, 4, sp=2)["total"]
+    assert e_sp < estimate_train_hbm(cfg, 4)["total"]
+    # sp=2 halves probs, flash removes them entirely at equal act sharing
+    assert estimate_train_hbm(cfg, 4, sp=1, flash_joint=True)["total"] < \
+        estimate_train_hbm(cfg, 4, sp=2)["total"]
