@@ -6,7 +6,15 @@ half of the global batch — the multi-host feed path the reference exercises
 only on real TPU pods (SURVEY.md §4: "multi-node without a cluster is not
 tested" there; here it is).
 
-Usage: python _mp_worker.py <process_id> <coordinator_port> <out_json>
+Usage: python _mp_worker.py <process_id> <coordinator_port> <out_json> [layout]
+
+layout 'dp8' (default): dp=8 mesh, each worker feeds its half-batch.
+layout 'ring4x2': dp=4 x sp=2 mesh with the device order INTERLEAVED across
+the two processes so every sp pair — i.e. every ring-attention ppermute
+partner and every dp grad-psum pair — straddles the process boundary; the
+joint tower runs joint_attention_impl='ring'. Each worker feeds the full
+global batch (with cross-process sp replication every dp row is addressable
+from both processes, so the process-local slice IS the full batch).
 """
 
 import json
@@ -23,6 +31,7 @@ jax.config.update("jax_num_cpu_devices", 4)
 
 def main():
     pid, port, out_json = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    layout = sys.argv[4] if len(sys.argv) > 4 else "dp8"
     jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
                                process_id=pid)
     assert jax.process_count() == 2
@@ -45,14 +54,33 @@ def main():
     cfg = dataclasses.replace(cfg, optimizer=dataclasses.replace(
         cfg.optimizer, num_train_steps=100, num_warmup_steps=10))
 
-    def local_batches(n):
-        # each host yields its 1/num_hosts slice of the global batch (the
-        # role data/loader.py's file sharding plays in production)
-        for i in range(n):
-            b = make_dummy_batch(cfg, batch_size=8, seed=i, num_text_spans=16)
-            yield {k: v[pid * 4:(pid + 1) * 4] for k, v in b.items()}
+    if layout == "ring4x2":
+        import dataclasses as dc
 
-    mesh = make_mesh(dp=8)
+        cfg = dc.replace(cfg, model=dc.replace(
+            cfg.model, seq_shard_axis="sp", joint_attention_impl="ring"))
+        devs = sorted(jax.devices(), key=lambda d: d.id)
+        # interleave: sp pairs (and each dp row) straddle the two processes
+        order = [devs[i] for i in (0, 4, 1, 5, 2, 6, 3, 7)]
+        mesh = make_mesh(dp=4, sp=2, devices=order)
+
+        def local_batches(n):
+            # every dp row is addressable from both processes (its sp pair
+            # has one device in each) -> the local slice is the full batch
+            for i in range(n):
+                yield make_dummy_batch(cfg, batch_size=8, seed=i,
+                                       num_text_spans=16)
+    else:
+        mesh = make_mesh(dp=8)
+
+        def local_batches(n):
+            # each host yields its 1/num_hosts slice of the global batch
+            # (the role data/loader.py's file sharding plays in production)
+            for i in range(n):
+                b = make_dummy_batch(cfg, batch_size=8, seed=i,
+                                     num_text_spans=16)
+                yield {k: v[pid * 4:(pid + 1) * 4] for k, v in b.items()}
+
     logged = []
     run_pretraining(cfg, local_batches(3), num_steps=3, mesh=mesh,
                     log_every=1, tracker=NullTracker(),
