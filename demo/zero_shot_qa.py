@@ -5,6 +5,12 @@
 build the answer vocabulary from the top-k train answers, extract video
 segments, and rank the vocabulary against the MASK hidden state.
 
+``--qa`` accepts the reference's precomputed ``{split}_infill.json``
+directly (questions already rewritten to <|MASK|> statements by its GPT-3
+pass) — those rewrites are consumed as-is for benchmark-comparable
+accuracy; the heuristic rewrite only kicks in for questions without a
+mask slot.
+
 Usage:
   python demo/zero_shot_qa.py build_vocab --train_qa train_qa.json --out vocab.txt
   python demo/zero_shot_qa.py infer --videos DIR --qa val_qa.json --vocab vocab.txt
@@ -37,7 +43,7 @@ def cmd_infer(args):
     from merlot_reserve_tpu.models.model import PretrainedMerlotReserve
     from merlot_reserve_tpu.preprocess import preprocess_video, video_to_segments
     from merlot_reserve_tpu.tokenizer import MASK
-    from merlot_reserve_tpu.zero_shot import question_to_statement, rank_options
+    from merlot_reserve_tpu.zero_shot import rank_options, statement_for_qa_item
 
     with open(args.vocab) as f:
         vocab = [l.strip() for l in f if l.strip()]
@@ -55,7 +61,7 @@ def cmd_infer(args):
         except Exception as e:
             print(f"skip {video_fn}: {e}")
             continue
-        statement = item.get("statement") or question_to_statement(item["question"])
+        statement = statement_for_qa_item(item)
         segments[0]["text"] = statement
         segments[0]["use_text_as_input"] = True
         for seg in segments[1:]:

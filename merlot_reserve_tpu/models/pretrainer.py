@@ -145,8 +145,11 @@ class MerlotReservePretrainer(MerlotReserve):
         host rng through the input pipeline (pretrain_model.py:96-97).
         Returns 3 keys: packed-video splits for the two vision streams, and
         the span-target Gumbel draw."""
-        content_key = towers["flat"]["audio2text/text_ptr"].astype(
-            jnp.uint32).sum()[None].repeat(2)
+        # jnp.asarray: under eager numpy inputs, numpy's sum would promote
+        # uint32 -> uint64, which jax.random.split rejects as key data
+        content_key = jnp.asarray(
+            towers["flat"]["audio2text/text_ptr"], jnp.uint32
+        ).sum()[None].repeat(2)
         return jax.random.split(content_key, num=3)
 
     def fuse_streams(self, towers, aug_keys):

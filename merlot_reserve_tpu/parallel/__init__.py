@@ -1,3 +1,8 @@
+from merlot_reserve_tpu.parallel.comm import (  # noqa: F401
+    collective_summary,
+    parse_hlo_collectives,
+    summarize_collectives,
+)
 from merlot_reserve_tpu.parallel.mesh import (  # noqa: F401
     activate_mesh,
     current_mesh,

@@ -1,0 +1,130 @@
+"""Compiled-HLO collective audit: account every cross-chip transfer.
+
+The reference's communication story is three hand-placed pmap collectives
+(pmean grads, all_gather negatives, grouped all_gather for its local Adam
+shards — SURVEY.md §2.13); nothing verifies what actually hits the
+interconnect. Here every collective is emitted by GSPMD/shard_map from
+sharding specs, so the compiled program is the single source of truth:
+lower the jitted step, parse the optimized HLO, and get per-kind counts
+and buffer bytes — before renting a pod. This is how the structural
+contracts are enforced in tests (dp emits exactly the grad all-reduce;
+ZeRO-1 adds the update all-gather; a ring layout emits its n−1
+collective-permutes; Ulysses its all_to_alls) and how a production layout
+is sanity-checked against the ICI budget.
+
+Bytes reported are RESULT-BUFFER bytes per executed op, not wire bytes:
+wire cost depends on the lowered algorithm (e.g. a ring all-reduce moves
+2·(n−1)/n × buffer per link). Ops inside while/scan bodies are counted
+once per appearance in the HLO, not per trip — combine with trip counts
+(e.g. `pipeline_microbatches`) when budgeting.
+
+No reference counterpart (the reference can't: pmap hides the lowering).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from merlot_reserve_tpu.parallel.mesh import activate_mesh
+
+COLLECTIVE_OPS = (
+    "all-reduce",
+    "all-gather",
+    "reduce-scatter",
+    "collective-permute",
+    "all-to-all",
+    "collective-broadcast",
+)
+
+_DTYPE_BYTES = {
+    "pred": 1, "s4": 1, "u4": 1, "s8": 1, "u8": 1, "f8e4m3fn": 1,
+    "f8e5m2": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+    "c64": 8, "c128": 16,
+}
+
+# `%name = f32[8,64]{1,0} all-gather(...)` / `= (f32[2]{0}, f32[2]{0})
+# all-reduce-start(...)`; the result type token precedes the op name.
+_OP_RE = re.compile(
+    r"=\s*(\([^)]*\)|[a-z0-9]+\[[^\]]*\]\S*)\s+("
+    + "|".join(COLLECTIVE_OPS) + r")(-start|-done)?\(")
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+
+
+def _shape_bytes(shape_token: str) -> List[int]:
+    """Byte sizes of every array in a result-type token (tuple or single)."""
+    out = []
+    for dtype, dims in _SHAPE_RE.findall(shape_token):
+        if dtype not in _DTYPE_BYTES:
+            continue  # e.g. token/opaque types
+        n = 1
+        if dims:
+            n = int(np.prod([int(d) for d in dims.split(",")]))
+        out.append(n * _DTYPE_BYTES[dtype])
+    return out
+
+
+def parse_hlo_collectives(hlo_text: str) -> List[Dict[str, Any]]:
+    """Every collective in an optimized-HLO dump, one record per op.
+
+    Async pairs are counted once (at the ``-start``; the matching ``-done``
+    is skipped). For a ``-start`` whose result tuple aliases the operand
+    (all-gather/all-reduce), only the final tuple element — the output
+    buffer — is counted, so bytes match the sync form of the same op.
+    """
+    records = []
+    for line in hlo_text.splitlines():
+        m = _OP_RE.search(line)
+        if not m:
+            continue
+        shape_token, op, suffix = m.group(1), m.group(2), m.group(3)
+        if suffix == "-done":
+            continue
+        sizes = _shape_bytes(shape_token)
+        if not sizes:
+            continue
+        nbytes = sizes[-1] if (suffix == "-start"
+                               and shape_token.startswith("(")) else sum(sizes)
+        records.append({"op": op, "bytes": nbytes,
+                        "shape": shape_token, "line": line.strip()})
+    return records
+
+
+def summarize_collectives(hlo_text: str) -> Dict[str, Any]:
+    """Aggregate :func:`parse_hlo_collectives` into per-kind counts/bytes."""
+    per_op: Dict[str, Dict[str, int]] = defaultdict(
+        lambda: {"count": 0, "bytes": 0})
+    for rec in parse_hlo_collectives(hlo_text):
+        per_op[rec["op"]]["count"] += 1
+        per_op[rec["op"]]["bytes"] += rec["bytes"]
+    summary = dict(per_op)
+    summary["total_bytes"] = sum(v["bytes"] for v in per_op.values())
+    summary["total_count"] = sum(v["count"] for v in per_op.values())
+    return summary
+
+
+def collective_summary(step_fn, *args, mesh: Optional[Any] = None,
+                       donate_argnums=()) -> Dict[str, Any]:
+    """Lower+compile a jitted function on its example args and summarize
+    its collectives.
+
+    Accepts the wrapped step functions returned by the trainer factories
+    (their ``__wrapped__`` is the underlying ``jax.jit``); pass ``mesh`` so
+    in-model sharding constraints / shard_map regions resolve their named
+    axes during trace, exactly as at execution time.
+    """
+    fn = getattr(step_fn, "__wrapped__", step_fn)
+    if not hasattr(fn, "lower"):
+        import jax
+
+        fn = jax.jit(fn, donate_argnums=donate_argnums)
+    if mesh is not None:
+        with activate_mesh(mesh):
+            compiled = fn.lower(*args).compile()
+    else:
+        compiled = fn.lower(*args).compile()
+    return summarize_collectives(compiled.as_text())

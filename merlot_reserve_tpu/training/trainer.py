@@ -30,23 +30,27 @@ from merlot_reserve_tpu.parallel.sharding import batch_sharding, state_shardings
 from merlot_reserve_tpu.utils.checkpoint import bf16_to_f32, f32_to_bf16
 
 
+def _grad_and_update(state, loss_fn, use_bfloat16_grads: bool):
+    """value_and_grad over (optionally bf16-cast) params -> nan_to_num ->
+    cast-up -> apply_gradients; the shared core of every step variant."""
+    params = state.params
+    if use_bfloat16_grads:
+        params = f32_to_bf16(params)
+    (_, loss_info), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    grads = jax.tree.map(lambda x: jnp.nan_to_num(x, copy=False), grads)
+    if use_bfloat16_grads:
+        grads = bf16_to_f32(grads)
+    loss_info = bf16_to_f32(loss_info)
+    return state.apply_gradients(grads=grads), loss_info
+
+
 def train_step(state, batch, use_bfloat16_grads: bool = True):
     """One pretraining step (global-batch semantics under jit)."""
 
     def _loss_fn(params):
         return loss_fn_given_preds(state.apply_fn({"params": params}, batch))
 
-    params = state.params
-    if use_bfloat16_grads:
-        params = f32_to_bf16(params)
-
-    (loss, loss_info), grads = jax.value_and_grad(_loss_fn, has_aux=True)(params)
-    grads = jax.tree.map(lambda x: jnp.nan_to_num(x, copy=False), grads)
-    if use_bfloat16_grads:
-        grads = bf16_to_f32(grads)
-    loss_info = bf16_to_f32(loss_info)
-    new_state = state.apply_gradients(grads=grads)
-    return new_state, loss_info
+    return _grad_and_update(state, _loss_fn, use_bfloat16_grads)
 
 
 def make_jit_train_step(mesh: Mesh, state, step_fn: Callable = train_step,
@@ -75,6 +79,64 @@ def make_jit_train_step(mesh: Mesh, state, step_fn: Callable = train_step,
         # trace/execute under the ambient mesh so in-model sharding
         # constraints (seq_shard_axis) and the pipeline shard_map
         # (pipeline_axis) resolve their named axes
+        with activate_mesh(mesh):
+            return jitted(*args, **kwargs)
+
+    return with_mesh, state
+
+
+def make_jit_mixed_res_train_step(mesh: Mesh, state, apply_b: Callable,
+                                  zero1: bool = True, donate: bool = True,
+                                  use_bfloat16_grads: bool = True):
+    """Two-resolution pretraining step as ONE SPMD program — the
+    resolution-adaptation (fixres) redesign.
+
+    The reference adapts resolution by giving each HOST a different grid
+    (``res = possible_res[process_index % 2]``,
+    /root/reference/pretrain/train_fixres.py:78-81). That is legal under
+    per-host pmap — each host compiles its own shapes and only the
+    grad-pmean and the contrastive all_gather cross hosts — but impossible
+    under a global-mesh jit, where every process must execute the same
+    program over the same global shapes. The GSPMD-native equivalent: every
+    step carries BOTH grids, half the global batch each. ``state.apply_fn``
+    runs grid A's forward on ``batch_a``, ``apply_b`` (a second
+    ``MerlotReservePretrainer`` built at grid B, sharing the
+    resolution-independent params — rotary, not learned PE) runs grid B's
+    on ``batch_b``, and the two preds trees are concatenated along dim 0
+    before :func:`loss_fn_given_preds`. The InfoNCE denominators therefore
+    span both resolutions — exactly the reference's semantics, where the
+    negatives all_gather (pretrain_model.py:290) mixes per-host batches of
+    different grids. Span selection / content-keyed augmentation stay
+    per-half, matching the reference's per-device behavior.
+
+    Compute per step equals the single-grid step at the same global batch
+    (each half is half the batch at its own seq_len), so the schedule and
+    step count carry over from the reference recipe unchanged.
+    """
+    s_shardings = state_shardings(mesh, state, zero1=zero1)
+    b_sharding = batch_sharding(mesh)
+    state = jax.device_put(state, s_shardings)
+
+    def mixed_step(state, batch_a, batch_b):
+        def _loss_fn(params):
+            preds_a = state.apply_fn({"params": params}, batch_a)
+            preds_b = apply_b({"params": params}, batch_b)
+            preds = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0),
+                preds_a, preds_b)
+            return loss_fn_given_preds(preds)
+
+        return _grad_and_update(state, _loss_fn, use_bfloat16_grads)
+
+    jitted = jax.jit(
+        mixed_step,
+        in_shardings=(s_shardings, b_sharding, b_sharding),
+        out_shardings=(s_shardings, NamedSharding(mesh, P())),
+        donate_argnums=(0,) if donate else (),
+    )
+
+    @functools.wraps(jitted)
+    def with_mesh(*args, **kwargs):
         with activate_mesh(mesh):
             return jitted(*args, **kwargs)
 

@@ -89,6 +89,23 @@ def verb_noun_action_accuracy(logits: np.ndarray, labels: np.ndarray,
 _WARNED_HEURISTIC_REWRITE = False
 
 
+def statement_for_qa_item(item: dict, answer_slot: str = "<|MASK|>") -> str:
+    """Pick the mask-infill statement for one MSRVTT-QA-style item.
+
+    Priority: an explicit ``statement`` field; then a ``question`` that
+    already carries the answer slot — the reference's ``{split}_infill.json``
+    format, where qa_to_infill.py writes its GPT-3 rewrite back into
+    ``question`` with ``_`` -> ``<|MASK|>`` (qa_to_infill.py:59-63), so
+    precomputed reference rewrites are consumed verbatim for
+    benchmark-comparable accuracy; finally the heuristic
+    :func:`question_to_statement` fallback (which warns: NOT comparable)."""
+    if item.get("statement"):
+        return item["statement"]
+    if answer_slot in item["question"]:
+        return item["question"]
+    return question_to_statement(item["question"], answer_slot)
+
+
 def question_to_statement(question: str, answer_slot: str = "<|MASK|>") -> str:
     """Heuristic question->statement rewrite for mask infilling.
 

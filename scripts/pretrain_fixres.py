@@ -1,9 +1,19 @@
 #!/usr/bin/env python
 """Resolution-adaptation pretraining — /root/reference/pretrain/
 train_fixres.py:78-261: continue from a pretrained checkpoint at higher
-resolution (grids (18,32) and (24,24) split across hosts), lr x0.02 for 75k
-steps with warmup 15k and final_lr_scale 0. Rotary (not learned) positions
-make the params resolution-independent, so only shapes change.
+resolution, lr x0.02 for 75k steps with warmup 15k and final_lr_scale 0.
+Rotary (not learned) positions make the params resolution-independent, so
+only shapes change.
+
+The reference mixes the two target grids by assigning one per HOST
+(``res = possible_res[process_index % 2]``, train_fixres.py:78-81) — legal
+under per-host pmap, impossible under a global-mesh jit where every
+process must execute the same program. Default mode here is the GSPMD
+redesign: every step carries BOTH grids, half the global batch each, preds
+concatenated before the contrastive loss so the InfoNCE negatives span
+both resolutions (the reference's cross-host all_gather semantics) — see
+training/trainer.py::make_jit_mixed_res_train_step. ``-res H,W`` forces a
+single grid instead (e.g. to adapt to one deployment resolution only).
 
 Usage: python scripts/pretrain_fixres.py base -ckpt CKPT -train_fns '...' -output_dir OUT
 """
@@ -19,6 +29,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 POSSIBLE_RES = [(18, 32), (24, 24)]
 
 
+def _fixres_config(mr, name, grid, num_steps, warmup, lr_scale):
+    cfg = mr.load_config(name, output_grid=grid)
+    # seq_len = lang + segments_per_group * pooled grid (train_fixres.py:90)
+    cfg = cfg.replace_data(seq_len=cfg.joint_seq_len)
+    return dataclasses.replace(cfg, optimizer=dataclasses.replace(
+        cfg.optimizer,
+        learning_rate=cfg.optimizer.learning_rate * lr_scale,
+        num_train_steps=num_steps, num_warmup_steps=warmup,
+        final_lr_scale=0.0))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
@@ -28,7 +49,9 @@ def main():
     ap.add_argument("-num_steps", type=int, default=75_000)
     ap.add_argument("-warmup", type=int, default=15_000)
     ap.add_argument("-lr_scale", type=float, default=0.02)
-    ap.add_argument("-res", default=None, help="H,W; default picks by host index")
+    ap.add_argument("-res", default=None,
+                    help="H,W: adapt to this single grid only; default "
+                         "trains both reference grids jointly (mixed-res)")
     ap.add_argument("-distributed", action="store_true")
     args = ap.parse_args()
 
@@ -45,24 +68,19 @@ def main():
     from merlot_reserve_tpu.data.loader import input_fn_builder
     from merlot_reserve_tpu.models import MerlotReservePretrainer
     from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.parallel.sharding import form_global_batch
     from merlot_reserve_tpu.training.optimization import construct_train_state
-    from merlot_reserve_tpu.training.pretrain import run_pretraining
-    from merlot_reserve_tpu.utils.checkpoint import load_checkpoint, stack_layer_params
+    from merlot_reserve_tpu.training.trainer import (
+        make_jit_mixed_res_train_step, make_jit_train_step)
+    from merlot_reserve_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint, stack_layer_params)
 
-    if args.res:
-        grid = tuple(int(x) for x in args.res.split(","))
-    else:
-        # per-host heterogeneous resolution (train_fixres.py:78-81)
-        grid = POSSIBLE_RES[jax.process_index() % 2]
-
-    cfg = mr.load_config(args.config, output_grid=grid)
-    # seq_len = lang + segments_per_group * pooled grid (train_fixres.py:90)
-    cfg = cfg.replace_data(seq_len=cfg.joint_seq_len)
-    cfg = dataclasses.replace(cfg, optimizer=dataclasses.replace(
-        cfg.optimizer,
-        learning_rate=cfg.optimizer.learning_rate * args.lr_scale,
-        num_train_steps=args.num_steps, num_warmup_steps=args.warmup,
-        final_lr_scale=0.0))
+    mixed = args.res is None
+    grids = POSSIBLE_RES if mixed else [
+        tuple(int(x) for x in args.res.split(","))]
+    cfgs = [_fixres_config(mr, args.config, g, args.num_steps, args.warmup,
+                           args.lr_scale) for g in grids]
+    cfg = cfgs[0]
 
     params = load_checkpoint(args.ckpt)["params"]
     if cfg.model.scan_layers:
@@ -72,20 +90,30 @@ def main():
     state = construct_train_state(cfg.optimizer, model, params)
 
     files = sorted(glob.glob(args.train_fns))
-    loader = input_fn_builder(cfg, files, host_index=jax.process_index(),
-                              num_hosts=jax.process_count(),
-                              use_bfloat16=cfg.model.use_bfloat16)
-
-    # run_pretraining would re-init; drive the provided state directly
-    import jax.numpy as jnp
-
-    from merlot_reserve_tpu.training.trainer import make_jit_train_step
-    from merlot_reserve_tpu.utils.checkpoint import save_checkpoint
+    # mixed mode: each grid's loader carries half the global batch; the
+    # combined per-step example count (and FLOPs) matches single-grid runs
+    loader_cfgs = cfgs
+    if mixed:
+        loader_cfgs = [dataclasses.replace(c, device=dataclasses.replace(
+            c.device, batch_size=c.device.batch_size // 2)) for c in cfgs]
+    loaders = [input_fn_builder(c, files, host_index=jax.process_index(),
+                                num_hosts=jax.process_count(),
+                                use_bfloat16=c.model.use_bfloat16)
+               for c in loader_cfgs]
 
     mesh = make_mesh()
-    step_fn, state = make_jit_train_step(mesh, state)
-    for step, batch in zip(range(args.num_steps), loader):
-        state, metrics = step_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
+    if mixed:
+        model_b = MerlotReservePretrainer.from_config(cfgs[1])
+        step_fn, state = make_jit_mixed_res_train_step(mesh, state,
+                                                       model_b.apply)
+        batches = zip(*loaders)
+    else:
+        step_fn, state = make_jit_train_step(mesh, state)
+        batches = ((b,) for b in loaders[0])
+
+    for step, step_batches in zip(range(args.num_steps), batches):
+        step_batches = [form_global_batch(mesh, b) for b in step_batches]
+        state, metrics = step_fn(state, *step_batches)
         if (step + 1) % 100 == 0:
             print(f"step {step + 1}: "
                   f"{ {k: float(v) for k, v in metrics.items() if not k.startswith('_')} }",

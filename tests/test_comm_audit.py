@@ -1,0 +1,126 @@
+"""Collective audit (parallel/comm.py): the compiled HLO is the source of
+truth for what a layout moves over the interconnect. These tests pin the
+structural communication contracts of the main layouts — auditable here
+precisely because GSPMD (not hand-placed pmap collectives, as in the
+reference) emits every transfer."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merlot_reserve_tpu.parallel.comm import (
+    collective_summary,
+    parse_hlo_collectives,
+    summarize_collectives,
+)
+
+
+def test_parse_hlo_text_units():
+    hlo = "\n".join([
+        "%ar = f32[] all-reduce(%x), replica_groups=[1,4]<=[4]",
+        "%ag = bf16[8,64]{1,0} all-gather(%y), dimensions={0}",
+        "%cp = f32[2,3]{1,0} collective-permute(%z), "
+        "source_target_pairs={{0,1},{1,0}}",
+        # async pair: counted once, output buffer (last tuple element) only
+        "%ags = (bf16[4,8]{1,0}, bf16[16,8]{1,0}) all-gather-start(%w)",
+        "%agd = bf16[16,8]{1,0} all-gather-done(%ags)",
+        "%noise = f32[7]{0} add(%a, %b)",
+    ])
+    recs = parse_hlo_collectives(hlo)
+    assert [r["op"] for r in recs] == [
+        "all-reduce", "all-gather", "collective-permute", "all-gather"]
+    assert recs[0]["bytes"] == 4          # f32 scalar
+    assert recs[1]["bytes"] == 8 * 64 * 2
+    assert recs[2]["bytes"] == 2 * 3 * 4
+    assert recs[3]["bytes"] == 16 * 8 * 2  # output buffer, not operand copy
+
+    s = summarize_collectives(hlo)
+    assert s["all-gather"] == {"count": 2, "bytes": 8 * 64 * 2 + 16 * 8 * 2}
+    assert s["total_count"] == 4
+
+
+@pytest.fixture(scope="module")
+def sp_mesh(cpu_devices):
+    from merlot_reserve_tpu.parallel.mesh import Mesh
+
+    return Mesh(np.asarray(cpu_devices[:4]), axis_names=("sp",))
+
+
+def _qkv(seed=0, B=1, L=64, H=4, D=8):
+    rng = np.random.RandomState(seed)
+    return tuple(jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+                 for _ in range(3))
+
+
+def test_ring_emits_collective_permutes_only(sp_mesh):
+    from merlot_reserve_tpu.ops.ring_attention import (
+        sequence_parallel_attention)
+
+    q, k, v = _qkv()
+    s = collective_summary(
+        lambda q_, k_, v_: sequence_parallel_attention(sp_mesh, q_, k_, v_),
+        q, k, v)
+    # the K/V rotation is the ring's only collective (inside the hop scan,
+    # so it appears once in the HLO regardless of hop count)
+    assert s.get("collective-permute", {}).get("count", 0) >= 1, s
+    assert "all-to-all" not in s, s
+
+
+def test_ulysses_emits_all_to_alls_no_permutes(sp_mesh):
+    from merlot_reserve_tpu.ops.ring_attention import (
+        sequence_parallel_attention)
+
+    q, k, v = _qkv(seed=1)
+    s = collective_summary(
+        lambda q_, k_, v_: sequence_parallel_attention(
+            sp_mesh, q_, k_, v_, impl="ulysses"),
+        q, k, v)
+    assert s.get("all-to-all", {}).get("count", 0) >= 2, s
+    assert "collective-permute" not in s, s
+
+
+@pytest.mark.slow
+def test_dp_train_step_moves_grad_bytes(cpu_devices):
+    """dp-only training: the interconnect carries (at least) one full set
+    of bf16 grads per step, and the grad reduction DOMINATES the traffic.
+
+    GSPMD is free to reshard small intermediates with collective-permute /
+    all-to-all even in a pure-dp program (e.g. batch-dim transposes around
+    the cross-batch Gumbel top-k), so their *presence* is not a contract
+    violation — their *size* is: resharding noise must stay a small
+    fraction of the grad bytes."""
+    import merlot_reserve_tpu as mr
+    from merlot_reserve_tpu.data.dummy import make_dummy_batch
+    from merlot_reserve_tpu.models import MerlotReservePretrainer
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.training.optimization import construct_train_state
+    from merlot_reserve_tpu.training.trainer import make_jit_train_step
+
+    cfg = mr.load_config("base", hidden_size=64, joint_num_layers=2,
+                         vit_num_layers=2, audio_num_layers=2,
+                         span_num_layers=2, size_per_head=32,
+                         output_grid=(4, 4), use_bfloat16=False)
+    cfg = cfg.replace_data(num_segments=4, num_segment_groups=2, seq_len=80,
+                           lang_seq_len=40, num_text_spans_to_include=8)
+    model = MerlotReservePretrainer.from_config(cfg)
+    batch = make_dummy_batch(cfg, batch_size=4, seed=0, num_text_spans=16)
+    params = model.init_params(batch)
+    state = construct_train_state(cfg.optimizer, model, params)
+
+    mesh = make_mesh(dp=4, devices=cpu_devices[:4])
+    step_fn, dstate = make_jit_train_step(mesh, state, zero1=False,
+                                          donate=False)
+    bd = {k: jnp.asarray(v) for k, v in batch.items()}
+    s = collective_summary(step_fn, dstate, bd, mesh=mesh)
+
+    n_param_bytes_bf16 = 2 * sum(
+        x.size for x in jax.tree_util.tree_leaves(params))
+    reduced = (s.get("all-reduce", {}).get("bytes", 0)
+               + s.get("reduce-scatter", {}).get("bytes", 0))
+    assert reduced >= 0.8 * n_param_bytes_bf16, (reduced, n_param_bytes_bf16, s)
+    reshard = (s.get("collective-permute", {}).get("bytes", 0)
+               + s.get("all-to-all", {}).get("bytes", 0))
+    assert reshard <= 0.2 * reduced, (reshard, reduced, s)

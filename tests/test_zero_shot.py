@@ -73,3 +73,19 @@ def test_question_to_statement():
         "the man holding is <|MASK|>"
     out = question_to_statement("Why did she leave?")
     assert out.endswith("<|MASK|>")
+
+
+def test_statement_for_qa_item_prefers_reference_infill():
+    from merlot_reserve_tpu.zero_shot import statement_for_qa_item
+
+    # the reference's {split}_infill.json: the GPT-3 rewrite is written
+    # back into 'question' with the <|MASK|> slot (qa_to_infill.py:59-63)
+    item = {"question": "a car is being driven through <|MASK|>."}
+    assert statement_for_qa_item(item) == item["question"]
+    # explicit statement wins over everything
+    assert statement_for_qa_item(
+        {"question": "x?", "statement": "y <|MASK|>"}) == "y <|MASK|>"
+    # plain question (or a failed rewrite left as the raw question)
+    # falls back to the heuristic
+    out = statement_for_qa_item({"question": "What is the man holding?"})
+    assert out == "the man holding is <|MASK|>"
