@@ -1,4 +1,6 @@
 from merlot_reserve_tpu.finetune.models import (  # noqa: F401
     MerlotReserveTVQA,
+    MerlotReserveTVQAZeroShot,
     MerlotReserveVCR,
+    MerlotReserveVCRZeroShot,
 )

@@ -157,6 +157,94 @@ def preprocess_tvqa(raw: Dict, cfg: MerlotConfig, rng: np.random.Generator,
 
 
 # ---------------------------------------------------------------------------
+# zero-shot variants: MASK in the answer slot + span-encoder answer tables
+# ---------------------------------------------------------------------------
+
+
+def _answer_table(raw: Dict, prefix: str, num_answers: int,
+                  span_len: int) -> np.ndarray:
+    """[num_answers, span_len] candidate tokens for the span encoder — the
+    per-question label space (get_label_space pads options to the span
+    length, modeling.py:1024-1032)."""
+    return np.stack([
+        _pad_to(np.asarray(raw[f"{prefix}_choice_{i}"], np.int64), span_len,
+                pad_value=PADDING)
+        for i in range(num_answers)])
+
+
+def preprocess_vcr_zero_shot(raw: Dict, cfg: MerlotConfig,
+                             rng: np.random.Generator, num_answers: int = 4,
+                             is_training: bool = False) -> Dict:
+    """Zero-shot VCR: per task one statement ending in MASK (the answer
+    slot) instead of 4 per-answer sequences; choices become the label space.
+    statements [2, lang_seq_len], answers [2, num_answers, span_len]."""
+    enc = get_tokenizer()
+    lang_len = cfg.data.lang_seq_len
+    span_len = cfg.model.text_span_length
+
+    image = _img_to_patches(bytes(raw["image"][0]), cfg)
+
+    sep = {"qa": enc.encode("answer: ").ids, "qar": enc.encode("rationale: ").ids}
+    statements, answers = [], []
+    for prefix in ["qa", "qar"]:
+        query = np.asarray(raw[f"{prefix}_query"], np.int64)
+        stmt = np.concatenate([query, sep[prefix]])
+        stmt = np.concatenate([stmt[:lang_len - 1], [MASK]])
+        statements.append(_pad_to(stmt, lang_len))
+        answers.append(_answer_table(raw, prefix, num_answers, span_len))
+    return {
+        "image": image,
+        "statements": np.stack(statements),
+        "answers": np.stack(answers),
+        "labels": np.asarray([int(raw["qa_label"][0]), int(raw["qar_label"][0])],
+                             np.int32),
+    }
+
+
+def preprocess_tvqa_zero_shot(raw: Dict, cfg: MerlotConfig,
+                              rng: np.random.Generator, num_answers: int = 5,
+                              num_segments: int = 7,
+                              is_training: bool = False) -> Dict:
+    """Zero-shot TVQA: ONE statement sequence per stream — question +
+    'answer:' + MASK with subtitle / AUDIOSPAN context rows — plus the
+    5 choices as a span-encoder answer table. Context decode (frames,
+    spectrograms, frame-validity zeroing, playback channel) is shared with
+    the finetune preprocessor."""
+    enc = get_tokenizer()
+    lang_len = cfg.data.lang_seq_len
+    atl = cfg.model.audio_token_length
+    span_len = cfg.model.text_span_length
+
+    ctx = preprocess_tvqa(raw, cfg, rng, num_answers=num_answers,
+                          num_segments=num_segments, is_training=False)
+
+    statement = np.concatenate([np.asarray(raw["qa_query"], np.int64),
+                                enc.encode("answer: ").ids])
+    statement = np.concatenate([statement[:lang_len - 1], [MASK]])
+    subs = [np.asarray(raw[f"c{i:02d}/sub"], np.int64) for i in range(num_segments)]
+    audio_full = np.full(3 * atl, AUDIOSPAN, np.int64)
+
+    def seq_with(rows: List[np.ndarray]) -> np.ndarray:
+        rows = [statement] + rows
+        toks = np.concatenate(rows)
+        seg = np.repeat(np.arange(len(rows)), [len(r) for r in rows])
+        out = np.stack([toks, seg], -1).astype(np.int32)[:lang_len]
+        pad = np.zeros((lang_len - len(out), 2), np.int32)
+        return np.concatenate([out, pad], 0)
+
+    return {
+        "images": ctx["images"],
+        "audio_clips": ctx["audio_clips"],
+        # num_ans dim of 1: one MASK statement per stream (the model fuses
+        # the same way as the finetune per-answer layout)
+        "textonly_seqs": seq_with(subs)[None],
+        "audio_seqs": seq_with([audio_full] * num_segments)[None],
+        "answers": _answer_table(raw, "qa", num_answers, span_len),
+        "labels": ctx["labels"],
+    }
+
+
+# ---------------------------------------------------------------------------
 # loader
 # ---------------------------------------------------------------------------
 
@@ -168,7 +256,9 @@ def finetune_batches(file_paths: List[str], cfg: MerlotConfig, task: str,
     """Stream collated batches for 'vcr' or 'tvqa'. With return_ids, yields
     (ids, batch) where padded slots carry id 'pad' (the reference's val
     convention, common_dataloader.py:346-363)."""
-    prep = {"vcr": preprocess_vcr, "tvqa": preprocess_tvqa}[task]
+    prep = {"vcr": preprocess_vcr, "tvqa": preprocess_tvqa,
+            "vcr_zero_shot": preprocess_vcr_zero_shot,
+            "tvqa_zero_shot": preprocess_tvqa_zero_shot}[task]
     rng = np.random.default_rng(seed)
 
     def emit(examples, ids):

@@ -86,6 +86,60 @@ def verb_noun_action_accuracy(logits: np.ndarray, labels: np.ndarray,
     return out
 
 
+def zero_shot_qa_eval(model, params, batches, task: str,
+                      temperature: float = 100.0):
+    """Batched zero-shot TVQA / VCR evaluation (BASELINE.json config 2).
+
+    :param model: MerlotReserveTVQAZeroShot or MerlotReserveVCRZeroShot
+    :param params: pretrained param tree (device-resident; donated and
+        threaded across batches so they upload once — see CLAUDE.md)
+    :param batches: iterator of ``(ids, batch)`` from
+        ``finetune_batches(..., task='{tvqa,vcr}_zero_shot', return_ids=True,
+        repeat=False)``; padded slots carry id ``'pad'`` and are skipped
+    :param task: 'tvqa' (two streams; joint = softmax sum as in
+        tvqa_finetune.py:308) or 'vcr' (qa + qar tasks)
+    :return: (metrics dict, per-example prediction rows)
+    """
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fn(p, batch):
+        return p, model.apply({"params": p}, batch)
+
+    params = jax.device_put(params)
+    rows, hits = [], []
+    for ids, batch in batches:
+        bd = {k: jnp.asarray(v) for k, v in batch.items() if k != "labels"}
+        params, out = fn(params, bd)
+        if task == "tvqa":
+            la, lt = (np.asarray(x, np.float32) * temperature for x in out)
+            joint = jax.nn.softmax(la, -1) + jax.nn.softmax(lt, -1)
+            preds = {"audio": la.argmax(-1), "text": lt.argmax(-1),
+                     "joint": np.asarray(joint).argmax(-1)}
+        else:
+            lg = np.asarray(out, np.float32)  # [B, 2, num_answers]
+            preds = {"qa": lg[:, 0].argmax(-1), "qar": lg[:, 1].argmax(-1)}
+        labels = np.asarray(batch["labels"])
+        for i, ex_id in enumerate(ids):
+            if ex_id == "pad":
+                continue
+            row = {"id": ex_id}
+            hit = {}
+            for name, p in preds.items():
+                row[f"pred_{name}"] = int(p[i])
+                lab = labels[i] if labels.ndim == 1 else \
+                    labels[i, 0 if name == "qa" else 1]
+                hit[name] = float(p[i] == lab)
+            if task == "vcr":
+                hit["joint"] = hit["qa"] * hit["qar"]
+            rows.append(row)
+            hits.append(hit)
+    metrics = {f"acc_{k}": float(np.mean([h[k] for h in hits]))
+               for k in hits[0]} if hits else {}
+    metrics["n"] = len(hits)
+    return metrics, rows
+
+
 _WARNED_HEURISTIC_REWRITE = False
 
 

@@ -18,6 +18,9 @@ SCRIPTS = [
     "scripts/prep_vcr.py",
     "scripts/prep_tvqa.py",
     "scripts/plan_memory.py",
+    "scripts/audit_comm.py",
+    "scripts/zero_shot_tvqa.py",
+    "scripts/zero_shot_vcr.py",
     "scripts/convert_checkpoint.py",
     "scripts/export_serving.py",
     "scripts/bench_quant_serving.py",
