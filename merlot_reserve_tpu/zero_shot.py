@@ -87,7 +87,7 @@ def verb_noun_action_accuracy(logits: np.ndarray, labels: np.ndarray,
 
 
 def zero_shot_qa_eval(model, params, batches, task: str,
-                      temperature: float = 100.0):
+                      temperature: float = 100.0, mesh=None):
     """Batched zero-shot TVQA / VCR evaluation (BASELINE.json config 2).
 
     :param model: MerlotReserveTVQAZeroShot or MerlotReserveVCRZeroShot
@@ -98,42 +98,68 @@ def zero_shot_qa_eval(model, params, batches, task: str,
         repeat=False)``; padded slots carry id ``'pad'`` and are skipped
     :param task: 'tvqa' (two streams; joint = softmax sum as in
         tvqa_finetune.py:308) or 'vcr' (qa + qar tasks)
+    :param mesh: optional ``jax.sharding.Mesh`` — batches enter dp-sharded
+        through ``form_global_batch`` (multi-host: each process feeds its
+        slice and iterates its OWN ids; the forward is one SPMD program)
     :return: (metrics dict, per-example prediction rows)
     """
+    from contextlib import nullcontext
     from functools import partial
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def fn(p, batch):
-        return p, model.apply({"params": p}, batch)
+    # donation below consumes the tree we place; copy so the CALLER's params
+    # survive (device_put alone is a no-op for already-committed arrays and
+    # the donated buffer would be the caller's)
+    params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
 
-    params = jax.device_put(params)
+    if mesh is not None:
+        from merlot_reserve_tpu.parallel.mesh import activate_mesh
+        from merlot_reserve_tpu.parallel.sharding import (batch_sharding,
+                                                          form_global_batch,
+                                                          param_shardings)
+        p_shardings = param_shardings(mesh, params)
+        fn = jax.jit(lambda p, b: (p, model.apply({"params": p}, b)),
+                     in_shardings=(p_shardings, batch_sharding(mesh)),
+                     donate_argnums=(0,))
+        params = jax.device_put(params, p_shardings)
+        scope = activate_mesh(mesh)
+    else:
+        @partial(jax.jit, donate_argnums=(0,))
+        def fn(p, batch):
+            return p, model.apply({"params": p}, batch)
+
+        params = jax.device_put(params)
+        scope = nullcontext()
+
     rows, hits = [], []
-    for ids, batch in batches:
-        bd = {k: jnp.asarray(v) for k, v in batch.items() if k != "labels"}
-        params, out = fn(params, bd)
-        if task == "tvqa":
-            la, lt = (np.asarray(x, np.float32) * temperature for x in out)
-            joint = jax.nn.softmax(la, -1) + jax.nn.softmax(lt, -1)
-            preds = {"audio": la.argmax(-1), "text": lt.argmax(-1),
-                     "joint": np.asarray(joint).argmax(-1)}
-        else:
-            lg = np.asarray(out, np.float32)  # [B, 2, num_answers]
-            preds = {"qa": lg[:, 0].argmax(-1), "qar": lg[:, 1].argmax(-1)}
-        labels = np.asarray(batch["labels"])
-        for i, ex_id in enumerate(ids):
-            if ex_id == "pad":
-                continue
-            row = {"id": ex_id}
-            hit = {}
-            for name, p in preds.items():
-                row[f"pred_{name}"] = int(p[i])
-                lab = labels[i] if labels.ndim == 1 else \
-                    labels[i, 0 if name == "qa" else 1]
-                hit[name] = float(p[i] == lab)
-            if task == "vcr":
-                hit["joint"] = hit["qa"] * hit["qar"]
-            rows.append(row)
-            hits.append(hit)
+    with scope:
+        for ids, batch in batches:
+            bd = {k: jnp.asarray(v) for k, v in batch.items() if k != "labels"}
+            if mesh is not None:
+                bd = form_global_batch(mesh, bd)
+            params, out = fn(params, bd)
+            if task == "tvqa":
+                la, lt = (np.asarray(x, np.float32) * temperature for x in out)
+                joint = jax.nn.softmax(la, -1) + jax.nn.softmax(lt, -1)
+                preds = {"audio": la.argmax(-1), "text": lt.argmax(-1),
+                         "joint": np.asarray(joint).argmax(-1)}
+            else:
+                lg = np.asarray(out, np.float32)  # [B, 2, num_answers]
+                preds = {"qa": lg[:, 0].argmax(-1), "qar": lg[:, 1].argmax(-1)}
+            labels = np.asarray(batch["labels"])
+            for i, ex_id in enumerate(ids):
+                if ex_id == "pad":
+                    continue
+                row = {"id": ex_id}
+                hit = {}
+                for name, p in preds.items():
+                    row[f"pred_{name}"] = int(p[i])
+                    lab = labels[i] if labels.ndim == 1 else \
+                        labels[i, 0 if name == "qa" else 1]
+                    hit[name] = float(p[i] == lab)
+                if task == "vcr":
+                    hit["joint"] = hit["qa"] * hit["qar"]
+                rows.append(row)
+                hits.append(hit)
     metrics = {f"acc_{k}": float(np.mean([h[k] for h in hits]))
                for k in hits[0]} if hits else {}
     metrics["n"] = len(hits)

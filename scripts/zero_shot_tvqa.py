@@ -43,6 +43,7 @@ def main():
     import merlot_reserve_tpu as mr
     from merlot_reserve_tpu.finetune.data import finetune_batches
     from merlot_reserve_tpu.finetune.models import MerlotReserveTVQAZeroShot
+    from merlot_reserve_tpu.parallel import make_mesh
     from merlot_reserve_tpu.utils.checkpoint import load_checkpoint, stack_layer_params
     from merlot_reserve_tpu.zero_shot import zero_shot_qa_eval
 
@@ -61,7 +62,8 @@ def main():
     batches = finetune_batches(files, cfg, "tvqa_zero_shot", args.batch_size,
                                is_training=False, repeat=False, return_ids=True)
     metrics, rows = zero_shot_qa_eval(model, params, batches, "tvqa",
-                                      temperature=args.temperature)
+                                      temperature=args.temperature,
+                                      mesh=make_mesh())
     print(json.dumps(metrics))
     if args.out:
         with open(args.out, "w") as f:

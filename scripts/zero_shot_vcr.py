@@ -36,6 +36,7 @@ def main():
     import merlot_reserve_tpu as mr
     from merlot_reserve_tpu.finetune.data import finetune_batches
     from merlot_reserve_tpu.finetune.models import MerlotReserveVCRZeroShot
+    from merlot_reserve_tpu.parallel import make_mesh
     from merlot_reserve_tpu.utils.checkpoint import load_checkpoint, stack_layer_params
     from merlot_reserve_tpu.zero_shot import zero_shot_qa_eval
 
@@ -50,7 +51,8 @@ def main():
     files = sorted(glob.glob(args.val_fns))
     batches = finetune_batches(files, cfg, "vcr_zero_shot", args.batch_size,
                                is_training=False, repeat=False, return_ids=True)
-    metrics, rows = zero_shot_qa_eval(model, params, batches, "vcr")
+    metrics, rows = zero_shot_qa_eval(model, params, batches, "vcr",
+                                      mesh=make_mesh())
     print(json.dumps(metrics))
     if args.out:
         with open(args.out, "w") as f:

@@ -167,3 +167,27 @@ def test_zero_shot_qa_eval_loop(tvqa_file, vcr_file, cfg):
     assert set(metrics_v) == {"acc_qa", "acc_qar", "acc_joint", "n"}
     for r in rows_v:
         assert 0 <= r["pred_qa"] < 4 and 0 <= r["pred_qar"] < 4
+
+
+@pytest.mark.slow
+def test_zero_shot_qa_eval_mesh(tvqa_file, cfg, cpu_devices):
+    """dp-sharded eval (form_global_batch + sharded jit) reproduces the
+    single-device predictions exactly."""
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.zero_shot import zero_shot_qa_eval
+
+    model = MerlotReserveTVQAZeroShot.from_config(cfg)
+    batch0 = next(finetune_batches([tvqa_file], cfg, "tvqa_zero_shot",
+                                   batch_size=2, is_training=False))
+    params = _init(model, batch0)
+
+    def batches():
+        return finetune_batches([tvqa_file], cfg, "tvqa_zero_shot",
+                                batch_size=2, is_training=False,
+                                repeat=False, return_ids=True)
+
+    m0, r0 = zero_shot_qa_eval(model, params, batches(), "tvqa")
+    mesh = make_mesh(dp=2, devices=cpu_devices[:2])
+    m1, r1 = zero_shot_qa_eval(model, params, batches(), "tvqa", mesh=mesh)
+    assert r0 == r1
+    assert m0 == m1
