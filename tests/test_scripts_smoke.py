@@ -25,6 +25,7 @@ SCRIPTS = [
     "scripts/export_serving.py",
     "scripts/bench_quant_serving.py",
     "demo/demo_video.py",
+    "demo/load_video.py",
     "demo/zero_shot_ek100.py",
     "demo/zero_shot_qa.py",
 ]

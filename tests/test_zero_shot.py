@@ -75,6 +75,21 @@ def test_question_to_statement():
     assert out.endswith("<|MASK|>")
 
 
+def test_attach_subtitles_midpoint_bucketing():
+    import importlib
+
+    lv = importlib.import_module("demo.load_video")
+    segments = [{"start_time": 0.0, "end_time": 5.0},
+                {"start_time": 5.0, "end_time": 10.0}]
+    words = [{"word": "hello", "start": 0.5, "end": 1.0},
+             {"word": "world", "start": 4.8, "end": 5.4},   # midpoint 5.1 -> seg 1
+             {"word": "bye", "start": 9.0, "end": 9.5},
+             {"word": "late", "start": 11.0, "end": 12.0}]  # outside -> dropped
+    out = lv.attach_subtitles(segments, words)
+    assert out[0]["sub"] == "hello"
+    assert out[1]["sub"] == "world bye"
+
+
 def test_statement_for_qa_item_prefers_reference_infill():
     from merlot_reserve_tpu.zero_shot import statement_for_qa_item
 
