@@ -42,8 +42,9 @@ def load_video_info(video_id: str, cache_dir: str = "cache") -> Dict:
     words = load_subtitle_words(cache_dir, video_id)
     info = {"id": video_id, "title": meta.get("title", ""),
             "transcript": words}
-    with open(cache_fn, "w") as f:
-        json.dump(info, f)
+    if words:  # don't freeze an empty transcript (VTT not downloaded yet)
+        with open(cache_fn, "w") as f:
+            json.dump(info, f)
     return info
 
 
@@ -55,10 +56,13 @@ def load_video(video_id: str, start_time: float = 0.0,
     from merlot_reserve_tpu.dataset_creation.youtube import download_video
     from merlot_reserve_tpu.preprocess import video_to_segments
 
+    import glob as _glob
+
     os.makedirs(cache_dir, exist_ok=True)
-    mp4_fn = os.path.join(cache_dir, f"{video_id}.mp4")
-    if not os.path.exists(mp4_fn):
-        mp4_fn = download_video(video_id, cache_dir)
+    # yt-dlp may merge to .mp4/.mkv/.webm — reuse whatever container exists
+    cached = [f for f in _glob.glob(os.path.join(cache_dir, f"{video_id}.*"))
+              if f.rsplit(".", 1)[-1] in ("mp4", "mkv", "webm")]
+    mp4_fn = cached[0] if cached else download_video(video_id, cache_dir)
 
     info = load_video_info(video_id, cache_dir)
     segments = video_to_segments(mp4_fn, time_interval=5.0,

@@ -215,7 +215,9 @@ def preprocess_tvqa_zero_shot(raw: Dict, cfg: MerlotConfig,
     atl = cfg.model.audio_token_length
     span_len = cfg.model.text_span_length
 
-    ctx = preprocess_tvqa(raw, cfg, rng, num_answers=num_answers,
+    # num_answers=1: reuse the frame/spectrogram decode without assembling
+    # the per-answer finetune sequences we'd throw away
+    ctx = preprocess_tvqa(raw, cfg, rng, num_answers=1,
                           num_segments=num_segments, is_training=False)
 
     statement = np.concatenate([np.asarray(raw["qa_query"], np.int64),

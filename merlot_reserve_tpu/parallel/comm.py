@@ -48,11 +48,32 @@ _DTYPE_BYTES = {
 }
 
 # `%name = f32[8,64]{1,0} all-gather(...)` / `= (f32[2]{0}, f32[2]{0})
-# all-reduce-start(...)`; the result type token precedes the op name.
+# all-reduce-start(...)`; the result type token precedes the op name. The
+# token may be a tuple with ONE level of nesting — variadic async forms,
+# e.g. `((f32[2,8], f32[3,8]), (f32[4,8], f32[6,8])) all-gather-start`.
 _OP_RE = re.compile(
-    r"=\s*(\([^)]*\)|[a-z0-9]+\[[^\]]*\]\S*)\s+("
+    r"=\s*(\((?:[^()]|\([^()]*\))*\)|[a-z0-9]+\[[^\]]*\]\S*)\s+("
     + "|".join(COLLECTIVE_OPS) + r")(-start|-done)?\(")
 _SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+
+
+def _top_level_elements(tuple_token: str) -> List[str]:
+    """Split a tuple type token into its top-level elements (one nesting
+    level is enough for HLO async forms)."""
+    inner, depth, cur, out = tuple_token.strip()[1:-1], 0, "", []
+    for ch in inner:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        out.append(cur)
+    return out
 
 
 def _shape_bytes(shape_token: str) -> List[int]:
@@ -72,9 +93,14 @@ def parse_hlo_collectives(hlo_text: str) -> List[Dict[str, Any]]:
     """Every collective in an optimized-HLO dump, one record per op.
 
     Async pairs are counted once (at the ``-start``; the matching ``-done``
-    is skipped). For a ``-start`` whose result tuple aliases the operand
-    (all-gather/all-reduce), only the final tuple element — the output
-    buffer — is counted, so bytes match the sync form of the same op.
+    is skipped), and bytes match the sync form of the same op:
+
+    * ``all-reduce-start`` / ``reduce-scatter-start`` results do NOT alias
+      operands — the whole result tuple is output buffers (the TPU combiner
+      pass merges many tensors into one variadic op), so ALL elements count;
+    * ``all-gather-start`` / ``collective-permute-start`` results are
+      ``(input(s), output(s), ...)`` — only top-level element 1 (which may
+      itself be a tuple in the variadic form) counts.
     """
     records = []
     for line in hlo_text.splitlines():
@@ -84,11 +110,14 @@ def parse_hlo_collectives(hlo_text: str) -> List[Dict[str, Any]]:
         shape_token, op, suffix = m.group(1), m.group(2), m.group(3)
         if suffix == "-done":
             continue
+        if (suffix == "-start" and shape_token.startswith("(")
+                and op in ("all-gather", "collective-permute")):
+            parts = _top_level_elements(shape_token)
+            shape_token = parts[1] if len(parts) > 1 else shape_token
         sizes = _shape_bytes(shape_token)
         if not sizes:
             continue
-        nbytes = sizes[-1] if (suffix == "-start"
-                               and shape_token.startswith("(")) else sum(sizes)
+        nbytes = sum(sizes)
         records.append({"op": op, "bytes": nbytes,
                         "shape": shape_token, "line": line.strip()})
     return records

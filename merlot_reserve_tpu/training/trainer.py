@@ -112,6 +112,13 @@ def make_jit_mixed_res_train_step(mesh: Mesh, state, apply_b: Callable,
     Compute per step equals the single-grid step at the same global batch
     (each half is half the batch at its own seq_len), so the schedule and
     step count carry over from the reference recipe unchanged.
+
+    The two halves MUST carry disjoint data (scripts/pretrain_fixres.py
+    shards files 2*num_hosts ways and seeds the loaders apart): feeding the
+    same example stream to both grids would put each row's exact positive
+    — same span tokens, bitwise-identical span embedding — into the other
+    half's InfoNCE denominator, flooring the loss near log 2 and actively
+    pushing identical positives apart.
     """
     s_shardings = state_shardings(mesh, state, zero1=zero1)
     b_sharding = batch_sharding(mesh)

@@ -86,6 +86,24 @@ def verb_noun_action_accuracy(logits: np.ndarray, labels: np.ndarray,
     return out
 
 
+def _local_batch_rows(arr) -> np.ndarray:
+    """Global dim-0 positions this process's loader filled when
+    form_global_batch assembled ``arr`` — ascending, matching the local
+    batch's row order (make_array_from_process_local_data places local rows
+    into the process's addressable shards in index order)."""
+    if jax.process_count() == 1:
+        return np.arange(arr.shape[0])
+    pid = jax.process_index()
+    spans = set()
+    for d, idx in arr.sharding.devices_indices_map(arr.shape).items():
+        if d.process_index != pid:
+            continue
+        sl = idx[0]
+        spans.add((sl.start or 0,
+                   arr.shape[0] if sl.stop is None else sl.stop))
+    return np.concatenate([np.arange(a, b) for a, b in sorted(spans)])
+
+
 def zero_shot_qa_eval(model, params, batches, task: str,
                       temperature: float = 100.0, mesh=None):
     """Batched zero-shot TVQA / VCR evaluation (BASELINE.json config 2).
@@ -100,7 +118,10 @@ def zero_shot_qa_eval(model, params, batches, task: str,
         tvqa_finetune.py:308) or 'vcr' (qa + qar tasks)
     :param mesh: optional ``jax.sharding.Mesh`` — batches enter dp-sharded
         through ``form_global_batch`` (multi-host: each process feeds its
-        slice and iterates its OWN ids; the forward is one SPMD program)
+        slice and iterates its OWN ids; the forward is one SPMD program and
+        predictions come back replicated, then each process keeps the rows
+        it contributed). Metrics/rows are PER-PROCESS on a pod — aggregate
+        across hosts if you need the global number.
     :return: (metrics dict, per-example prediction rows)
     """
     from contextlib import nullcontext
@@ -116,9 +137,16 @@ def zero_shot_qa_eval(model, params, batches, task: str,
         from merlot_reserve_tpu.parallel.sharding import (batch_sharding,
                                                           form_global_batch,
                                                           param_shardings)
+        from jax.sharding import NamedSharding, PartitionSpec
+
         p_shardings = param_shardings(mesh, params)
+        # outputs replicated: on a pod every process then holds a full copy
+        # and can read it (a dp-sharded output spans non-addressable devices
+        # and np.asarray on it would throw)
         fn = jax.jit(lambda p, b: (p, model.apply({"params": p}, b)),
                      in_shardings=(p_shardings, batch_sharding(mesh)),
+                     out_shardings=(p_shardings,
+                                    NamedSharding(mesh, PartitionSpec())),
                      donate_argnums=(0,))
         params = jax.device_put(params, p_shardings)
         scope = activate_mesh(mesh)
@@ -137,13 +165,18 @@ def zero_shot_qa_eval(model, params, batches, task: str,
             if mesh is not None:
                 bd = form_global_batch(mesh, bd)
             params, out = fn(params, bd)
+            # rows THIS process contributed (global preds are replicated):
+            # every row single-process, the local slice on a pod
+            sel = (_local_batch_rows(next(iter(bd.values())))
+                   if mesh is not None else slice(None))
             if task == "tvqa":
-                la, lt = (np.asarray(x, np.float32) * temperature for x in out)
+                la, lt = (np.asarray(x, np.float32)[sel] * temperature
+                          for x in out)
                 joint = jax.nn.softmax(la, -1) + jax.nn.softmax(lt, -1)
                 preds = {"audio": la.argmax(-1), "text": lt.argmax(-1),
                          "joint": np.asarray(joint).argmax(-1)}
             else:
-                lg = np.asarray(out, np.float32)  # [B, 2, num_answers]
+                lg = np.asarray(out, np.float32)[sel]  # [B, 2, num_answers]
                 preds = {"qa": lg[:, 0].argmax(-1), "qar": lg[:, 1].argmax(-1)}
             labels = np.asarray(batch["labels"])
             for i, ex_id in enumerate(ids):

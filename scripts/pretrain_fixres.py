@@ -9,11 +9,14 @@ The reference mixes the two target grids by assigning one per HOST
 (``res = possible_res[process_index % 2]``, train_fixres.py:78-81) — legal
 under per-host pmap, impossible under a global-mesh jit where every
 process must execute the same program. Default mode here is the GSPMD
-redesign: every step carries BOTH grids, half the global batch each, preds
-concatenated before the contrastive loss so the InfoNCE negatives span
-both resolutions (the reference's cross-host all_gather semantics) — see
+redesign: every step carries BOTH grids, half the global batch each from
+DISJOINT file shards (2*num_hosts virtual hosts — each grid gets its own
+data, as each reference host did), preds concatenated before the
+contrastive loss so the InfoNCE negatives span both resolutions (the
+reference's cross-host all_gather semantics) — see
 training/trainer.py::make_jit_mixed_res_train_step. ``-res H,W`` forces a
 single grid instead (e.g. to adapt to one deployment resolution only).
+Mixed mode needs batch_size divisible by 2*num_hosts (asserted).
 
 Usage: python scripts/pretrain_fixres.py base -ckpt CKPT -train_fns '...' -output_dir OUT
 """
@@ -23,6 +26,7 @@ import dataclasses
 import glob
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -90,16 +94,26 @@ def main():
     state = construct_train_state(cfg.optimizer, model, params)
 
     files = sorted(glob.glob(args.train_fns))
-    # mixed mode: each grid's loader carries half the global batch; the
-    # combined per-step example count (and FLOPs) matches single-grid runs
-    loader_cfgs = cfgs
     if mixed:
-        loader_cfgs = [dataclasses.replace(c, device=dataclasses.replace(
-            c.device, batch_size=c.device.batch_size // 2)) for c in cfgs]
-    loaders = [input_fn_builder(c, files, host_index=jax.process_index(),
-                                num_hosts=jax.process_count(),
-                                use_bfloat16=c.model.use_bfloat16)
-               for c in loader_cfgs]
+        # each grid's loader carries half the global batch, from a DISJOINT
+        # file shard with a distinct rng: the two grids act as 2*num_hosts
+        # virtual hosts, mirroring the reference's per-host scheme where
+        # each host had its own grid AND its own data shard
+        # (train_fixres.py:78-81 + dataloader.py:927-930). Feeding both
+        # grids the same stream would put each row's exact positive into
+        # the other half's InfoNCE denominator.
+        base_seed = int(time.time())
+        loaders = [input_fn_builder(c, files,
+                                    host_index=2 * jax.process_index() + i,
+                                    num_hosts=2 * jax.process_count(),
+                                    seed=base_seed + i,
+                                    use_bfloat16=c.model.use_bfloat16)
+                   for i, c in enumerate(cfgs)]
+    else:
+        loaders = [input_fn_builder(cfg, files,
+                                    host_index=jax.process_index(),
+                                    num_hosts=jax.process_count(),
+                                    use_bfloat16=cfg.model.use_bfloat16)]
 
     mesh = make_mesh()
     if mixed:

@@ -24,22 +24,34 @@ def test_parse_hlo_text_units():
         "%ag = bf16[8,64]{1,0} all-gather(%y), dimensions={0}",
         "%cp = f32[2,3]{1,0} collective-permute(%z), "
         "source_target_pairs={{0,1},{1,0}}",
-        # async pair: counted once, output buffer (last tuple element) only
+        # async pair: counted once, output buffer (tuple element 1) only
         "%ags = (bf16[4,8]{1,0}, bf16[16,8]{1,0}) all-gather-start(%w)",
         "%agd = bf16[16,8]{1,0} all-gather-done(%ags)",
+        # combined (variadic) all-reduce-start: the whole tuple is OUTPUT
+        # buffers (no operand alias) -> all elements count
+        "%ars = (f32[2]{0}, f32[4]{0}) all-reduce-start(%u, %v)",
+        "%ard = (f32[2]{0}, f32[4]{0}) all-reduce-done(%ars)",
+        # variadic all-gather-start: ((inputs), (outputs)) -> outputs only
+        "%vgs = ((f32[2,8]{1,0}, f32[3,8]{1,0}), (f32[8,8]{1,0}, "
+        "f32[12,8]{1,0})) all-gather-start(%x, %y)",
         "%noise = f32[7]{0} add(%a, %b)",
     ])
     recs = parse_hlo_collectives(hlo)
     assert [r["op"] for r in recs] == [
-        "all-reduce", "all-gather", "collective-permute", "all-gather"]
+        "all-reduce", "all-gather", "collective-permute", "all-gather",
+        "all-reduce", "all-gather"]
     assert recs[0]["bytes"] == 4          # f32 scalar
     assert recs[1]["bytes"] == 8 * 64 * 2
     assert recs[2]["bytes"] == 2 * 3 * 4
     assert recs[3]["bytes"] == 16 * 8 * 2  # output buffer, not operand copy
+    assert recs[4]["bytes"] == (2 + 4) * 4
+    assert recs[5]["bytes"] == (8 * 8 + 12 * 8) * 4
 
     s = summarize_collectives(hlo)
-    assert s["all-gather"] == {"count": 2, "bytes": 8 * 64 * 2 + 16 * 8 * 2}
-    assert s["total_count"] == 4
+    assert s["all-gather"] == {
+        "count": 3,
+        "bytes": 8 * 64 * 2 + 16 * 8 * 2 + (8 * 8 + 12 * 8) * 4}
+    assert s["total_count"] == 6
 
 
 @pytest.fixture(scope="module")

@@ -124,3 +124,26 @@ def test_negatives_span_both_resolutions(setup):
     # equal-sized halves -> unweighted mean; strict margin since the extra
     # negatives are random embeddings, not near-duplicates
     assert float(loss_mixed) > (float(loss_a) + float(loss_b)) / 2 + 1e-3
+
+
+def test_mixed_loaders_consume_disjoint_shards(tmp_path):
+    """The script's 2*num_hosts virtual-host scheme: the two grid loaders
+    must read DISJOINT file shards — the same stream through both grids
+    would put each row's exact positive (same span tokens -> identical span
+    embedding) into the other half's InfoNCE denominator, flooring the loss
+    and pushing identical positives apart."""
+    from merlot_reserve_tpu.data.loader import input_fn_builder
+    from merlot_reserve_tpu.data.synthetic import write_synthetic_corpus
+
+    cfg = _tiny_cfg((4, 4), 80)
+    cfg = dataclasses.replace(cfg, device=dataclasses.replace(
+        cfg.device, batch_size=2))
+    files = [write_synthetic_corpus(str(tmp_path / f"c{i}.tfrecord"), cfg,
+                                    num_records=2, seed=i) for i in range(4)]
+    loaders = [input_fn_builder(cfg, files, host_index=2 * 0 + i,
+                                num_hosts=2 * 1, seed=100 + i)
+               for i in range(2)]
+    assert not (set(loaders[0].files) & set(loaders[1].files))
+    assert set(loaders[0].files) | set(loaders[1].files) == set(files)
+    # and the halved per-loader batch: combined = configured global batch
+    assert loaders[0].batch_size + loaders[1].batch_size == 2

@@ -76,9 +76,14 @@ def test_question_to_statement():
 
 
 def test_attach_subtitles_midpoint_bucketing():
-    import importlib
+    import importlib.util
+    import os
 
-    lv = importlib.import_module("demo.load_video")
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "demo", "load_video.py")
+    spec = importlib.util.spec_from_file_location("_load_video", path)
+    lv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lv)
     segments = [{"start_time": 0.0, "end_time": 5.0},
                 {"start_time": 5.0, "end_time": 10.0}]
     words = [{"word": "hello", "start": 0.5, "end": 1.0},
