@@ -20,7 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import yaml
 
-CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
 
 
 def _filtered(cls, d: Dict[str, Any]) -> Dict[str, Any]:

@@ -16,26 +16,36 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 _NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native")
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libmerlot_native.so")
 
 
 @lru_cache(maxsize=1)
 def _load() -> Optional[ctypes.CDLL]:
-    if not os.path.exists(_SO_PATH):
+    so_path = _SO_PATH
+    if not os.path.exists(so_path):
         src = os.path.join(_NATIVE_DIR, "merlot_native.cc")
         if not os.path.exists(src):
             return None
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src,
-                 "-o", _SO_PATH, "-ljpeg"],
-                check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError):
-            return None
+        if not os.access(_NATIVE_DIR, os.W_OK):
+            # installed into a read-only site-packages: build to a per-user
+            # cache instead of next to the source
+            import hashlib
+            import tempfile
+
+            tag = hashlib.sha1(open(src, "rb").read()).hexdigest()[:12]
+            so_path = os.path.join(tempfile.gettempdir(),
+                                   f"libmerlot_native-{tag}.so")
+        if not os.path.exists(so_path):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src,
+                     "-o", so_path, "-ljpeg"],
+                    check=True, capture_output=True)
+            except (subprocess.CalledProcessError, FileNotFoundError):
+                return None
     try:
-        lib = ctypes.CDLL(_SO_PATH)
+        lib = ctypes.CDLL(so_path)
     except OSError:
         return None
 
