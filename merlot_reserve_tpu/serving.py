@@ -87,3 +87,96 @@ class VideoEmbedService:
     def throughput(self) -> float:
         """Videos/sec over the service lifetime."""
         return self.stats["videos"] / max(self.stats["seconds"], 1e-9)
+
+
+class DynamicBatcher:
+    """Queue-fed dynamic batching on top of :class:`VideoEmbedService` —
+    the production-serving layer the reference lacks (its demo embeds one
+    video per call; a server must coalesce concurrent requests to fill the
+    compiled batch).
+
+    Requests submit from any thread and get a Future; a single dispatcher
+    thread flushes a batch when ``batch_size`` requests are pending OR the
+    oldest pending request has waited ``max_wait_ms`` (classic
+    latency/throughput knob). Underfilled flushes pad to the compiled shape
+    (the service already does), so there is exactly ONE compiled program.
+
+    >>> with DynamicBatcher(service, max_wait_ms=5.0) as b:
+    ...     futs = [b.submit(vp) for vp in video_pres]
+    ...     embs = [f.result() for f in futs]
+    """
+
+    def __init__(self, service: VideoEmbedService, max_wait_ms: float = 10.0):
+        import queue
+        import threading
+
+        self.service = service
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self.batch_fills: List[int] = []
+        self._thread = threading.Thread(target=self._dispatch, daemon=True)
+        self._thread.start()
+
+    def submit(self, video_pre: Dict):
+        """Enqueue one preprocessed video; returns a Future of its [L, H]
+        embedding."""
+        from concurrent.futures import Future
+
+        assert not self._closed, "batcher is closed"
+        fut: Future = Future()
+        self._q.put((video_pre, fut))
+        return fut
+
+    def _dispatch(self):
+        import queue
+        import time as _time
+
+        while True:
+            try:
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                if self._closed:
+                    return
+                continue
+            if item is None:
+                return
+            pending = [item]
+            deadline = _time.monotonic() + self.max_wait
+            while len(pending) < self.service.batch_size:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._flush(pending)
+                    return
+                pending.append(nxt)
+            self._flush(pending)
+
+    def _flush(self, pending):
+        self.batch_fills.append(len(pending))
+        try:
+            out = self.service.embed([vp for vp, _ in pending])
+        except Exception as e:  # noqa: BLE001 — deliver, don't kill the thread
+            for _, fut in pending:
+                fut.set_exception(e)
+            return
+        for i, (_, fut) in enumerate(pending):
+            fut.set_result(out[i])
+
+    def close(self):
+        """Drain the queue, flush remaining requests, stop the thread."""
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)
+            self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -66,3 +66,81 @@ def test_batching_consistency(service):
     solo = svc.embed(pres[:1])[0]
     batch = svc.embed(pres[:2])[0]
     np.testing.assert_allclose(solo, batch, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# DynamicBatcher (stub service: no model, pure queue/flush semantics)
+# ---------------------------------------------------------------------------
+
+
+class _StubService:
+    def __init__(self, batch_size=4, fail_on=None):
+        self.batch_size = batch_size
+        self.calls = []
+        self.fail_on = fail_on or set()
+
+    def embed(self, video_pres):
+        assert len(video_pres) <= self.batch_size
+        ids = [vp["id"] for vp in video_pres]
+        self.calls.append(ids)
+        if self.fail_on & set(ids):
+            raise ValueError(f"poison in {ids}")
+        return np.asarray(ids, np.float32)[:, None] * 10  # [n, 1]
+
+
+def test_dynamic_batcher_results_match_requests():
+    from merlot_reserve_tpu.serving import DynamicBatcher
+
+    svc = _StubService(batch_size=4)
+    with DynamicBatcher(svc, max_wait_ms=20.0) as b:
+        futs = [b.submit({"id": i}) for i in range(10)]
+        results = [f.result(timeout=10) for f in futs]
+    for i, r in enumerate(results):
+        np.testing.assert_array_equal(r, [i * 10.0])
+    assert sum(b.batch_fills) == 10
+    assert max(b.batch_fills) <= 4
+
+
+def test_dynamic_batcher_coalesces_and_flushes_partial():
+    import time
+
+    from merlot_reserve_tpu.serving import DynamicBatcher
+
+    svc = _StubService(batch_size=4)
+    b = DynamicBatcher(svc, max_wait_ms=30.0)
+    try:
+        # burst of exactly batch_size coalesces into one call
+        futs = [b.submit({"id": i}) for i in range(4)]
+        [f.result(timeout=10) for f in futs]
+        assert b.batch_fills[0] == 4
+        # a lone request flushes after max_wait, not never
+        t0 = time.monotonic()
+        fut = b.submit({"id": 99})
+        np.testing.assert_array_equal(fut.result(timeout=10), [990.0])
+        assert time.monotonic() - t0 < 5.0
+        assert b.batch_fills[-1] == 1
+    finally:
+        b.close()
+
+
+def test_dynamic_batcher_propagates_errors_and_survives():
+    from merlot_reserve_tpu.serving import DynamicBatcher
+
+    svc = _StubService(batch_size=2, fail_on={7})
+    with DynamicBatcher(svc, max_wait_ms=5.0) as b:
+        bad = b.submit({"id": 7})
+        with pytest.raises(ValueError):
+            bad.result(timeout=10)
+        ok = b.submit({"id": 1})  # the dispatcher thread must still be alive
+        np.testing.assert_array_equal(ok.result(timeout=10), [10.0])
+
+
+def test_dynamic_batcher_close_flushes_pending():
+    from merlot_reserve_tpu.serving import DynamicBatcher
+
+    svc = _StubService(batch_size=8)
+    b = DynamicBatcher(svc, max_wait_ms=60_000.0)  # would wait forever
+    futs = [b.submit({"id": i}) for i in range(3)]
+    b.close()  # must flush the 3 pending instead of abandoning them
+    for i, f in enumerate(futs):
+        np.testing.assert_array_equal(f.result(timeout=1), [i * 10.0])
