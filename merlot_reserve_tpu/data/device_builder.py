@@ -95,8 +95,15 @@ class DeviceExampleBuilder:
         self.max_row = max(self.TM + 4, cfg.model.audio_token_length,
                            self.span_len)
         # host_prepare's truncate-and-report contract: segments with more
-        # than max_tokens_per_segment ASR tokens are clipped and counted here
+        # than max_tokens_per_segment ASR tokens are clipped and counted
+        # here. Lock: host_prepare runs on loader worker THREADS; unlocked
+        # += would interleave. (Under a process pool the counts stay in the
+        # child — thread pools are the loader default and the only mode
+        # where these counters are meaningful.)
+        import threading
+
         self.stats = {"truncated_segments": 0, "truncated_tokens": 0}
+        self._stats_lock = threading.Lock()
         self._mask_tbl = jnp.asarray(token_is_valid_table())
 
         enc = get_tokenizer()
@@ -139,11 +146,14 @@ class DeviceExampleBuilder:
                 spec = _decode_jpeg(data, channels=1)
             spec_u8[i] = spec.reshape(d.num_mels, d.spec_size).T
             magic[i] = float(_scalar(seg["spectrogram/magic_number"], 1.0))
-            playback[i] = float(_scalar(seg.get("playback_speed", [1]), 1))
+            # int() to match the host builder exactly (pretrain_pipeline.py
+            # floors fractional speeds before building the speed channel)
+            playback[i] = int(_scalar(seg.get("playback_speed", [1]), 1))
             ids_full = np.asarray(seg.get("tok_ids", np.zeros(0, np.int64)))
             if len(ids_full) > TM:  # report: contract is truncate-and-count
-                self.stats["truncated_segments"] += 1
-                self.stats["truncated_tokens"] += len(ids_full) - TM
+                with self._stats_lock:
+                    self.stats["truncated_segments"] += 1
+                    self.stats["truncated_tokens"] += len(ids_full) - TM
             ids = ids_full[:TM]
             tok_ids[i, :len(ids)] = ids
             tok_num[i] = len(ids)
@@ -207,10 +217,12 @@ class DeviceExampleBuilder:
                                  clips.shape[:-1] + (1,))
         clips = jnp.concatenate([clips, speed], -1)
 
-        fft_window = d.fft_window_size / d.sample_rate
-        scale = d.fft_hop_length / d.sample_rate
-        start_t = starts.astype(jnp.float32) * scale - fft_window / 2.0
-        end_t = start_t + m.audio_seq_length * scale + fft_window
+        from merlot_reserve_tpu.data.masking import audio_window_times
+
+        # single-sourced with the host builder (f32 on device)
+        start_t, end_t = audio_window_times(
+            starts, m.audio_seq_length, d.sample_rate, d.fft_hop_length,
+            d.fft_window_size, dtype=jnp.float32)
         return clips, start_t, end_t
 
     def _token_ragged(self, raw, start_t, end_t):
@@ -312,13 +324,12 @@ class DeviceExampleBuilder:
                          jnp.full(seq_len, -1, jnp.int32)], -1)
         lhs_v = pos < lhs_amt
 
-        has_rows = (lens > 0).any()
-        last_ptr = jnp.where(
-            has_rows, jnp.max(jnp.where(lens > 0, jnp.arange(n_rows), -1)), -1)
+        # max over (rowid where nonzero else -1) is already -1 when empty
+        last_ptr = jnp.max(jnp.where(lens > 0, jnp.arange(n_rows), -1))
         rhs_tok = jnp.take(raw_tokens,
                            jnp.clip(offset + l_sel + pos, 0, self.RTL - 1))
         rhs = jnp.stack([rhs_tok,
-                         jnp.full(seq_len, 0, jnp.int32) + last_ptr + 1,
+                         jnp.broadcast_to(last_ptr + 1, (seq_len,)),
                          jnp.full(seq_len, -1, jnp.int32)], -1)
         rhs_v = pos < rhs_amt
 

@@ -370,12 +370,17 @@ def place_audio_subsegments(spec_size: int, num_subsegments: int, seq_length: in
     return paddings_int[:num_subsegments] + np.arange(num_subsegments) * seq_length
 
 
-def audio_window_times(start_idx: np.ndarray, seq_length: int, sample_rate: int,
-                       fft_hop_length: int, fft_window_size: int):
-    """Real start/end times of each subsegment window (dataloader.py:123-126)."""
+def audio_window_times(start_idx, seq_length: int, sample_rate: int,
+                       fft_hop_length: int, fft_window_size: int,
+                       dtype=np.float64):
+    """Real start/end times of each subsegment window (dataloader.py:123-126).
+
+    THE single source of this formula: the device builder calls it too
+    (with jnp inputs and dtype=float32 — python-float scalars keep jnp
+    weak typing). Change it here and both builders move together."""
     fft_window = fft_window_size / sample_rate
     scale = fft_hop_length / sample_rate
-    start_t = start_idx.astype(np.float64) * scale - fft_window / 2.0
+    start_t = start_idx.astype(dtype) * scale - fft_window / 2.0
     end_t = start_t + seq_length * scale + fft_window
     return start_t, end_t
 

@@ -493,17 +493,32 @@ def attention(q, k, v, *, is_valid=None, segment_ids=None, bias=None, impl: str 
         )
         from merlot_reserve_tpu.parallel.mesh import current_mesh
 
+        # grammar: 'ring[:lax|flash|rdma][:AXIS]' / 'ulysses[:xla|flash][:AXIS]'
+        # (a single tail token that isn't a known inner is an AXIS shorthand);
+        # anything else is an error — a typo must not silently degrade to
+        # dense attention
         parts = impl.split(":")
-        if parts[0] == "ulysses":
-            # 'ulysses[:xla|flash][:AXIS]' -> 'ulysses' / 'ulysses-flash'
-            sub = "ulysses-flash" if "flash" in parts[1:2] else "ulysses"
-            axis = parts[2] if len(parts) > 2 else (
-                parts[1] if len(parts) > 1 and parts[1] not in ("xla", "flash")
-                else "sp")
+        known = {"ring": ("lax", "flash", "rdma"),
+                 "ulysses": ("xla", "flash")}[parts[0]]
+        sub, axis, tail = known[0], "sp", parts[1:]
+        if len(tail) == 1:
+            if tail[0] in known:
+                sub = tail[0]
+            else:
+                axis = tail[0]
+        elif len(tail) == 2:
+            assert tail[0] in known, (
+                f"impl {impl!r}: unknown {parts[0]} inner {tail[0]!r}; "
+                f"expected one of {known}")
+            sub, axis = tail
         else:
-            sub = parts[1] if len(parts) > 1 else "lax"
-            axis = parts[2] if len(parts) > 2 else "sp"
+            assert not tail, f"bad sequence-parallel impl string {impl!r}"
+        if parts[0] == "ulysses":
+            sub = "ulysses-flash" if sub == "flash" else "ulysses"
         mesh = current_mesh()
+        assert mesh is None or axis in mesh.shape, (
+            f"impl {impl!r}: axis {axis!r} not in mesh axes "
+            f"{tuple(mesh.shape)}")
         if mesh is not None and mesh.shape.get(axis, 1) > 1:
             return sequence_parallel_attention(
                 mesh, q, k, v, is_valid=is_valid, segment_ids=segment_ids,
@@ -514,6 +529,10 @@ def attention(q, k, v, *, is_valid=None, segment_ids=None, bias=None, impl: str 
         assert bias is None, (
             "flash attention consumes per-position labels, not a dense bias "
             "— pass is_valid/segment_ids or use impl='xla'")
+        assert q.shape[-3] == k.shape[-3], (
+            f"flash self-attention requires Lq == Lk (got {q.shape[-3]} vs "
+            f"{k.shape[-3]}): labels and padding are per-query-position — "
+            "use impl='xla' for cross-attention")
         B = q.shape[0]
         if is_valid is None:
             is_valid = jnp.ones((B, L), jnp.int32)

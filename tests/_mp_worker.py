@@ -54,6 +54,41 @@ def main():
     cfg = dataclasses.replace(cfg, optimizer=dataclasses.replace(
         cfg.optimizer, num_train_steps=100, num_warmup_steps=10))
 
+    if layout == "zs_eval":
+        # multi-host zero-shot QA eval: dp=8 mesh, ONE global batch of 8
+        # TVQA examples, each worker feeding its 4 and keeping its own rows
+        import numpy as np
+
+        from merlot_reserve_tpu.data.synthetic import (
+            write_synthetic_finetune_corpus)
+        from merlot_reserve_tpu.data.tfrecord import parse_example, read_records
+        from merlot_reserve_tpu.finetune.data import preprocess_tvqa_zero_shot
+        from merlot_reserve_tpu.finetune.models import MerlotReserveTVQAZeroShot
+        from merlot_reserve_tpu.zero_shot import zero_shot_qa_eval
+
+        cfg = cfg.replace_data(num_segments=7, lang_seq_len=48)
+        corpus = out_json + f".{pid}.tfrecord"  # same seed -> same bytes
+        write_synthetic_finetune_corpus(corpus, cfg, "tvqa", num_records=8,
+                                        seed=7)
+        records = [parse_example(r) for r in read_records(corpus)]
+        rng = np.random.default_rng(0)
+        exs = [preprocess_tvqa_zero_shot(r, cfg, rng) for r in records]
+
+        model = MerlotReserveTVQAZeroShot.from_config(cfg)
+        params = model.init_params(
+            {k: np.stack([e[k] for e in exs[:2]]) for k in exs[0]})
+
+        mine = list(range(pid * 4, (pid + 1) * 4))
+        batches = [([f"r{g}" for g in mine],
+                    {k: np.stack([exs[g][k] for g in mine]) for k in exs[0]})]
+        mesh = make_mesh(dp=8)
+        metrics, rows = zero_shot_qa_eval(model, params, iter(batches),
+                                          "tvqa", mesh=mesh)
+        with open(out_json, "w") as f:
+            json.dump({"metrics": metrics, "rows": rows}, f)
+        print(f"worker {pid} done", flush=True)
+        return
+
     if layout == "ring4x2":
         import dataclasses as dc
 

@@ -169,3 +169,44 @@ def test_joint_flash_impl_matches_xla_end_to_end():
     worst = max(jax.tree_util.tree_leaves(jax.tree.map(
         lambda a, b: float(jnp.abs(a - b).max()), g_ref, g_fl)))
     assert worst < 2e-3, worst
+
+
+def test_flash_rejects_cross_attention_lengths():
+    """Lq != Lk through the flash path must error, not silently apply
+    q-side labels/padding to K/V (diverged 0.36 from the XLA oracle before
+    the guard)."""
+    from merlot_reserve_tpu.ops.attention import attention
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 256, 2, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 384, 2, 8).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 384, 2, 8).astype(np.float32))
+    with pytest.raises(AssertionError, match="Lq == Lk"):
+        attention(q, k, v, impl="flash", interpret=True)
+    # the xla path handles cross lengths
+    out = attention(q, k, v, impl="xla")
+    assert out.shape == (1, 256, 2, 8)
+
+
+def test_sequence_parallel_impl_string_validation(cpu_devices):
+    """Typos in ring/ulysses impl strings must raise, not silently fall
+    back to dense attention; a bare axis token is accepted as shorthand."""
+    from merlot_reserve_tpu.ops.attention import attention
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.parallel.mesh import activate_mesh
+
+    rng = np.random.RandomState(1)
+    q, k, v = (jnp.asarray(rng.randn(1, 64, 2, 8).astype(np.float32))
+               for _ in range(3))
+    mesh = make_mesh(dp=1, sp=4, devices=cpu_devices[:4])
+    with activate_mesh(mesh):
+        with pytest.raises(AssertionError, match="unknown ring inner"):
+            attention(q, k, v, impl="ring:flsh:sp")
+        with pytest.raises(AssertionError, match="not in mesh axes"):
+            attention(q, k, v, impl="ulysses:xla:nope")
+        # axis shorthand: 'ring:tp' = lax ring over the (size-1) tp axis
+        # -> dense fallback, same result as xla
+        out_tp = attention(q, k, v, impl="ring:tp")
+        out_ref = attention(q, k, v, impl="xla")
+        np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_ref),
+                                   atol=2e-5)

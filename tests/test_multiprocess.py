@@ -209,3 +209,62 @@ def test_two_process_device_array_batch(tmp_path):
     logs = [p.communicate(timeout=300)[0] for p in procs]
     for p, log in zip(procs, logs):
         assert p.returncode == 0 and f"OK" in log, log[-3000:]
+
+
+def test_two_process_zero_shot_eval_rows_align(tmp_path):
+    """Multi-host zero-shot QA eval: each process feeds its 4 of a global
+    batch of 8 and must get back predictions for exactly ITS rows (the
+    replicated-output + sharding-index-map path in zero_shot_qa_eval);
+    per-example predictions must match a single-process no-mesh eval."""
+    port = _free_port()
+    outs = [str(tmp_path / f"zs_{i}.json") for i in range(2)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(_HERE, "_mp_worker.py"),
+         str(i), str(port), outs[i], "zs_eval"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    logs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"zs_eval worker failed:\n{log[-4000:]}"
+
+    got = []
+    for o in outs:
+        with open(o) as f:
+            got.append(json.load(f))
+    # worker p returns rows r{4p}..r{4p+3}, in its own feed order
+    assert [r["id"] for r in got[0]["rows"]] == ["r0", "r1", "r2", "r3"]
+    assert [r["id"] for r in got[1]["rows"]] == ["r4", "r5", "r6", "r7"]
+
+    # single-process no-mesh reference over the same records/params
+    import numpy as np
+
+    import merlot_reserve_tpu as mr
+    from merlot_reserve_tpu.data.synthetic import write_synthetic_finetune_corpus
+    from merlot_reserve_tpu.data.tfrecord import parse_example, read_records
+    from merlot_reserve_tpu.finetune.data import preprocess_tvqa_zero_shot
+    from merlot_reserve_tpu.finetune.models import MerlotReserveTVQAZeroShot
+    from merlot_reserve_tpu.zero_shot import zero_shot_qa_eval
+
+    cfg = mr.load_config("base", hidden_size=64, joint_num_layers=2,
+                         vit_num_layers=2, audio_num_layers=2,
+                         span_num_layers=2, size_per_head=32,
+                         output_grid=(4, 4), use_bfloat16=False)
+    cfg = cfg.replace_data(num_segments=7, lang_seq_len=48)
+    corpus = str(tmp_path / "ref.tfrecord")
+    write_synthetic_finetune_corpus(corpus, cfg, "tvqa", num_records=8, seed=7)
+    records = [parse_example(r) for r in read_records(corpus)]
+    rng = np.random.default_rng(0)
+    exs = [preprocess_tvqa_zero_shot(r, cfg, rng) for r in records]
+    model = MerlotReserveTVQAZeroShot.from_config(cfg)
+    params = model.init_params(
+        {k: np.stack([e[k] for e in exs[:2]]) for k in exs[0]})
+    batches = [([f"r{g}" for g in range(8)],
+                {k: np.stack([e[k] for e in exs]) for k in exs[0]})]
+    _, ref_rows = zero_shot_qa_eval(model, params, iter(batches), "tvqa")
+    ref = {r["id"]: r for r in ref_rows}
+    for part in got:
+        for r in part["rows"]:
+            assert r == ref[r["id"]], (r, ref[r["id"]])
