@@ -65,7 +65,32 @@ def _time_device(fn_maker, params, args):
     return max((times[CHAIN] - times[1]) / (CHAIN - 1), 1e-9), params
 
 
+def _backend_watchdog(limit_s: float = 600.0):
+    """Fail fast if the device backend never initializes.
+
+    The axon relay has been observed to go down in a way that makes
+    jax.devices() hang indefinitely (CLAUDE.md round-3 gotcha). A hung
+    bench is worse than a failed one: exit loudly on stderr with a nonzero
+    code instead, and never print a fabricated JSON result line. Returns a
+    cancel() callback to call once the backend is up.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(limit_s):
+            print(f"# FATAL: device backend failed to initialize within "
+                  f"{limit_s:.0f}s (axon relay down?) — no result",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done.set
+
+
 def main():
+    cancel_watchdog = _backend_watchdog()
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -79,6 +104,8 @@ def main():
     from merlot_reserve_tpu.ops.vision import preprocess_image_to_patches
 
     on_tpu = jax.default_backend() == "tpu"
+    jax.devices()  # force backend init while the watchdog is armed
+    cancel_watchdog()
     # unrolled layers: same numerics, but the layer-scan costs a few percent
     # even on the forward path and the whole-graph compile is cached after
     # the first bench run (BASELINE.md round-2 scan_layers findings)
