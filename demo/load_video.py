@@ -56,15 +56,23 @@ def load_video(video_id: str, start_time: float = 0.0,
     from merlot_reserve_tpu.dataset_creation.youtube import download_video
     from merlot_reserve_tpu.preprocess import video_to_segments
 
-    import glob as _glob
-
     os.makedirs(cache_dir, exist_ok=True)
-    # yt-dlp may merge to .mp4/.mkv/.webm — reuse whatever container exists
-    cached = [f for f in _glob.glob(os.path.join(cache_dir, f"{video_id}.*"))
-              if f.rsplit(".", 1)[-1] in ("mp4", "mkv", "webm")]
+    # yt-dlp may merge to .mp4/.mkv/.webm — reuse whatever container exists.
+    # Exact names only: a crashed pre-merge run leaves per-format fragments
+    # ({id}.f137.mp4 = video-only, silent) that must NOT pass as cached.
+    cached = [fn for ext in ("mp4", "mkv", "webm")
+              for fn in [os.path.join(cache_dir, f"{video_id}.{ext}")]
+              if os.path.exists(fn)]
     mp4_fn = cached[0] if cached else download_video(video_id, cache_dir)
 
     info = load_video_info(video_id, cache_dir)
+    if cached and not info["transcript"]:
+        # the video was cached but its VTT was never fetched (subs download
+        # happens inside download_video, which the cache hit skipped) —
+        # re-run the downloader (yt-dlp skips the existing media file) and
+        # re-read; load_video_info never froze the empty transcript
+        download_video(video_id, cache_dir)
+        info = load_video_info(video_id, cache_dir)
     segments = video_to_segments(mp4_fn, time_interval=5.0,
                                  segment_start_time=start_time,
                                  num_segments_max=num_segments_max)

@@ -123,7 +123,10 @@ class ExportedVideoService:
     def embed(self, video_pres: Sequence[Dict]) -> np.ndarray:
         bs = self.manifest["batch_size"]
         if not video_pres:  # empty request (e.g. fully filtered upstream)
-            return np.zeros((0, self.manifest["hidden_size"]), np.float32)
+            # same rank as the non-empty path: [N, L, H] with L = the
+            # exported token length (embed_video returns one row per token)
+            return np.zeros((0, self.manifest["input_shapes"]["tokens"][1],
+                             self.manifest["hidden_size"]), np.float32)
         assert len(video_pres) <= bs, (len(video_pres), bs)
         pad = bs - len(video_pres)
         stack = {k: np.stack([np.asarray(v[k]) for v in video_pres] +

@@ -46,11 +46,22 @@ class VideoEmbedService:
             return params, out
 
         self._fn = fn
-        self.params = jax.device_put(self.params)
+        # donation consumes the tree we place; copy so the CALLER's params
+        # survive (device_put alone is a no-op for already-committed arrays
+        # and the donated buffer would be the caller's — same fix as
+        # zero_shot.zero_shot_qa_eval)
+        self.params = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                   self.params)
 
     def embed(self, video_pres: Sequence[Dict]) -> np.ndarray:
         """Embed up to batch_size preprocessed videos -> [N, L, H]."""
         n = len(video_pres)
+        if n == 0:
+            raise ValueError(
+                "empty request: the output seq length is set by the inputs, "
+                "so an empty result has no well-defined shape — filter "
+                "upstream (ExportedVideoService knows its shapes and does "
+                "return a typed empty)")
         assert n <= self.batch_size
         pad = self.batch_size - n
         stack = {k: np.stack([np.asarray(v[k]) for v in video_pres] +
@@ -68,7 +79,9 @@ class VideoEmbedService:
         return out
 
     def embed_stream(self, video_pres: Sequence[Dict]) -> np.ndarray:
-        """Embed any number of videos, micro-batching internally."""
+        """Embed any number (>= 1) of videos, micro-batching internally."""
+        if not video_pres:
+            raise ValueError("empty request (see embed)")
         outs = []
         for i in range(0, len(video_pres), self.batch_size):
             outs.append(self.embed(video_pres[i:i + self.batch_size]))
@@ -114,6 +127,11 @@ class DynamicBatcher:
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        # guards the closed-check + enqueue pair: without it a submit could
+        # pass the check, lose the CPU, and enqueue AFTER close()'s None
+        # sentinel — the dispatcher would already be gone and the Future
+        # would never resolve
+        self._lock = threading.Lock()
         self.batch_fills: List[int] = []
         self._thread = threading.Thread(target=self._dispatch, daemon=True)
         self._thread.start()
@@ -123,9 +141,11 @@ class DynamicBatcher:
         embedding."""
         from concurrent.futures import Future
 
-        assert not self._closed, "batcher is closed"
         fut: Future = Future()
-        self._q.put((video_pre, fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._q.put((video_pre, fut))
         return fut
 
     def _dispatch(self):
@@ -170,10 +190,14 @@ class DynamicBatcher:
 
     def close(self):
         """Drain the queue, flush remaining requests, stop the thread."""
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
+            # FIFO + the lock guarantee every accepted item precedes the
+            # sentinel, so the dispatcher flushes them all before exiting
             self._q.put(None)
-            self._thread.join()
+        self._thread.join()
 
     def __enter__(self):
         return self

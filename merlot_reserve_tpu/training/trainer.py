@@ -218,7 +218,10 @@ class MetricsQueue:
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
         self._queue.append((step, metrics))
-        if len(self._queue) > max(self.delay, 1):
+        # pop once the queue exceeds `delay` pending entries, so a metric
+        # materializes exactly `delay` pushes after its own (delay=0 =>
+        # synchronous)
+        if len(self._queue) > max(self.delay, 0):
             return self.pop()
         return None
 

@@ -92,7 +92,13 @@ class TPUCreator:
     # -- code push + launch ---------------------------------------------
 
     def push_code(self, local_dir: str, remote_dir: str = "~/merlot_reserve_tpu"):
-        """rsync the framework to every worker (tpu_run.py:118-167)."""
+        """Sync the framework to every worker (tpu_run.py:118-167).
+
+        scp --recurse copies INTO an existing directory (a second push
+        would nest local_dir inside remote_dir and relaunches would run
+        stale code), so remove the old tree first — that restores the
+        reference's rsync semantics."""
+        self.run_on_all_workers(f"rm -rf {remote_dir}", detach=False)
         return self._gcloud(
             "scp", "--recurse", local_dir, f"{self.name}:{remote_dir}",
             "--worker=all")
@@ -118,10 +124,12 @@ class TPUCreator:
         # bind to the WHOLE preceding chain (&&/|| are left-associative,
         # equal precedence) and mask jax/flax install failures too.
         "(pip install --upgrade wandb google-cloud-storage || true)",
-        # 32 GiB, matching tpu_startup_script.sh:16
-        "grep -q TCMALLOC_LARGE_ALLOC_REPORT_THRESHOLD ~/.bashrc || "
+        # 32 GiB, matching tpu_startup_script.sh:16. Parenthesized for the
+        # same reason as above: a bare `grep || echo` tail would swallow a
+        # failed jax/flax install (the || would bind to the whole chain).
+        "(grep -q TCMALLOC_LARGE_ALLOC_REPORT_THRESHOLD ~/.bashrc || "
         "echo 'export TCMALLOC_LARGE_ALLOC_REPORT_THRESHOLD=34359738368' "
-        ">> ~/.bashrc",
+        ">> ~/.bashrc)",
     )
 
     def install_dependencies(self):

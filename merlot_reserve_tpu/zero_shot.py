@@ -35,8 +35,10 @@ def extract_mask_features(model, video_pres: List[Dict]) -> np.ndarray:
     """Batch-embed videos and return the hidden state at the FIRST MASK of
     each (the EK-100 extract stage, extract_ek100_feat.py:17-158). All videos
     must share shapes."""
+    # stack only the embed inputs — video_pre dicts may carry extra metadata
+    # (ids, subtitle lists) that isn't stackable
     batch = {k: jnp.stack([jnp.asarray(v[k]) for v in video_pres])
-             for k in video_pres[0]}
+             for k in ("images", "audio_clips", "tokens", "subseg_idxs")}
     out = model.batch_embed_video(batch["images"], batch["audio_clips"],
                                   batch["tokens"], batch["subseg_idxs"])
     feats = []

@@ -130,3 +130,17 @@ def test_loader_needs_no_model_code():
         if isinstance(node, (ast.Import, ast.ImportFrom)):
             mod = getattr(node, "module", None) or node.names[0].name
             assert "models" not in mod and "towers" not in mod, mod
+
+
+def test_exported_empty_request_shape(artifact):
+    """Empty requests return the same RANK as non-empty ones: [0, L, H]
+    with L = the exported token length (a caller concatenating per-shard
+    results must not hit a rank mismatch)."""
+    from merlot_reserve_tpu.export import load_serving_artifact
+
+    path, _ = artifact
+    svc = load_serving_artifact(path)
+    out = svc.embed([])
+    L = svc.manifest["input_shapes"]["tokens"][1]
+    H = svc.manifest["hidden_size"]
+    assert out.shape == (0, L, H)

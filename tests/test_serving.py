@@ -144,3 +144,41 @@ def test_dynamic_batcher_close_flushes_pending():
     b.close()  # must flush the 3 pending instead of abandoning them
     for i, f in enumerate(futs):
         np.testing.assert_array_equal(f.result(timeout=1), [i * 10.0])
+
+
+def test_service_construction_preserves_caller_params(service):
+    """Donation must consume the service's COPY, not the caller's tree
+    (device_put is a no-op for committed arrays — the pre-fix construction
+    donated the caller's buffers on the first embed)."""
+    import jax
+    import jax.numpy as jnp
+
+    svc, pres = service
+    caller_params = jax.device_put(
+        jax.tree.map(lambda x: jnp.array(x, copy=True), svc.params))
+    svc2 = VideoEmbedService(model=svc.model, params=caller_params,
+                             batch_size=2)
+    out = svc2.embed(pres[:1])
+    assert out.shape == (1, 40, 64)
+    # every caller leaf must still be alive and readable
+    for leaf in jax.tree_util.tree_leaves(caller_params):
+        np.asarray(leaf)
+
+
+def test_empty_request_raises(service):
+    svc, _ = service
+    with pytest.raises(ValueError, match="empty request"):
+        svc.embed([])
+    with pytest.raises(ValueError, match="empty request"):
+        svc.embed_stream([])
+
+
+def test_dynamic_batcher_submit_after_close_raises():
+    from merlot_reserve_tpu.serving import DynamicBatcher
+
+    svc = _StubService(batch_size=2)
+    b = DynamicBatcher(svc, max_wait_ms=5.0)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit({"id": 0})
+    b.close()  # idempotent

@@ -206,3 +206,38 @@ def test_trace_live_roundtrip(tmp_path):
     events = load_trace_events(str(tmp_path))
     assert events, "no complete events in live trace"
     assert op_time_table(events, top=5)
+
+
+def test_metrics_queue_delay_semantics():
+    """A metric materializes exactly `delay` pushes after its own; delay=0
+    is synchronous."""
+    import jax.numpy as jnp
+
+    from merlot_reserve_tpu.training.trainer import MetricsQueue
+
+    q0 = MetricsQueue(delay=0)
+    got = q0.push(0, {"loss": jnp.float32(1.5)})
+    assert got is not None and got[0] == 0 and got[1]["loss"] == 1.5
+
+    q2 = MetricsQueue(delay=2)
+    assert q2.push(0, {"loss": jnp.float32(0.0)}) is None
+    assert q2.push(1, {"loss": jnp.float32(1.0)}) is None
+    step, m = q2.push(2, {"loss": jnp.float32(2.0)})
+    assert step == 0 and m["loss"] == 0.0
+    assert sorted(s for s, _ in q2.drain()) == [1, 2]
+
+
+def test_tpu_push_code_removes_stale_tree_first():
+    """scp --recurse copies INTO an existing dir (second push would nest and
+    relaunches would run stale code) — push_code must rm -rf first, and the
+    TCMALLOC bashrc entry must be parenthesized so its || can't mask a
+    failed jax install."""
+    tpu = TPUCreator(name="test-pod", zone="us-east1-d",
+                     accelerator_type="v5litepod-16", dry_run=True)
+    tpu.push_code("/root/repo")
+    cmds = tpu.issued_commands
+    rm_idx = next(i for i, c in enumerate(cmds) if "rm -rf" in c)
+    scp_idx = next(i for i, c in enumerate(cmds) if "scp" in c)
+    assert rm_idx < scp_idx
+    deps = " && ".join(TPUCreator.STARTUP_DEPS)
+    assert "&& (grep -q TCMALLOC" in deps and deps.endswith(")")
