@@ -44,6 +44,52 @@ def test_parse_segments(corpus, cfg):
         assert len(seg["tok_ids"]) == 20
 
 
+def test_structured_corpus_is_learnable_and_deterministic(cfg, tmp_path):
+    """structured=True media must be (a) deterministic given the seed,
+    (b) distinct across segments (so contrastive heads have signal), and
+    (c) time-constant in the spectrogram (so the random 3x60 subsegment
+    placement crops the same identifying pattern wherever it lands)."""
+    import io
+
+    from PIL import Image
+
+    def _b(v):
+        return v[0] if isinstance(v, (list, tuple)) else bytes(v)
+
+    p1 = write_synthetic_corpus(str(tmp_path / "s1.tfrecord"), cfg,
+                                num_records=2, seed=5, structured=True)
+    p2 = write_synthetic_corpus(str(tmp_path / "s2.tfrecord"), cfg,
+                                num_records=2, seed=5, structured=True)
+    recs1, recs2 = list(read_records(p1)), list(read_records(p2))
+    segs = parse_segment_record(recs1[0], cfg.data.num_segments)
+    segs_again = parse_segment_record(recs2[0], cfg.data.num_segments)
+
+    imgs = [np.asarray(Image.open(io.BytesIO(_b(s["image/encoded"]))))
+            for s in segs]
+    # deterministic
+    np.testing.assert_array_equal(
+        imgs[0], np.asarray(Image.open(io.BytesIO(
+            _b(segs_again[0]["image/encoded"])))))
+    # distinct across segments AND records
+    for i in range(1, len(imgs)):
+        assert np.abs(imgs[0].astype(int) - imgs[i].astype(int)).mean() > 10
+    other = parse_segment_record(recs1[1], cfg.data.num_segments)
+    img_other = np.asarray(Image.open(io.BytesIO(_b(other[0]["image/encoded"]))))
+    assert np.abs(imgs[0].astype(int) - img_other.astype(int)).mean() > 10
+
+    # spectrogram pattern constant along the time axis (JPEG-tolerant)
+    spec = np.asarray(Image.open(io.BytesIO(_b(segs[0]["spectrogram/encoded"]))))
+    assert spec.shape == (cfg.data.num_mels, cfg.data.spec_size)
+    assert float(spec.std(axis=1).mean()) < 3.0
+    assert float(spec.mean(axis=1).std()) > 20.0  # but varied across mels
+
+    # and the examples still build
+    builder = PretrainExampleBuilder(cfg)
+    ex = builder.build(parse_segment_record(recs1[0], cfg.data.num_segments),
+                       rng=np.random.default_rng(0))
+    assert ex["images"].shape[0] == cfg.data.num_segments
+
+
 def test_example_builder_schema(corpus, cfg):
     examples = list(pretrain_examples_from_file(corpus, cfg, seed=1))
     assert len(examples) == 3
