@@ -74,13 +74,21 @@ def save_checkpoint(state, path: str, keep: Optional[int] = None, overwrite: boo
 class AsyncCheckpointer:
     """Checkpoint writes off the training critical path.
 
-    ``save`` issues ``copy_to_host_async`` on every leaf so all
-    device->host transfers run concurrently, materializes the host tree
-    (donation-safe: the train loop donates the state buffers into the next
-    step, so the fetch must complete before ``save`` returns), then hands
-    compression + msgpack serialization + file IO — the slow part — to a
-    background thread. The reference blocks training for the whole
-    ``device_get`` + GCS write every 7500 steps (train.py:131-132).
+    ``save`` snapshots the state ON DEVICE (one jitted buffer copy — HBM
+    bandwidth, no host round trip) and returns immediately; the
+    device->host fetch, compression, serialization, and file IO all run in
+    a background thread against the snapshot. The snapshot is what makes
+    this donation-safe: the train loop donates the live state buffers into
+    the next step, but the copies fetched by the writer are independent.
+    The reference blocks training for the whole ``device_get`` + GCS write
+    every 7500 steps (train.py:131-132); the earlier design here still
+    blocked on the fetch, which costs minutes per save on slow
+    device->host links (measured ~300 s for a base-scale train state
+    through this box's TPU relay — BASELINE.md soak run).
+
+    Costs one transient extra copy of the train state in HBM until the
+    background fetch completes. If the d2d snapshot cannot be taken
+    (e.g. no memory headroom), falls back to the blocking-fetch path.
 
     One save may be in flight at a time (a second ``save`` joins the first —
     checkpoint ordering is preserved). Call ``wait()`` before exiting."""
@@ -90,16 +98,34 @@ class AsyncCheckpointer:
 
         self._threading = threading
         self._thread: Optional[Any] = None
+        self._snap_fn = None
+
+    def _snapshot(self, state):
+        """Device-side copy of every array leaf; non-array leaves (ints,
+        None, …) pass through outside the jit so their types are preserved
+        in the written tree."""
+        if self._snap_fn is None:
+            self._snap_fn = jax.jit(lambda xs: [jnp.copy(x) for x in xs])
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        arr_idx = [i for i, l in enumerate(leaves)
+                   if isinstance(l, jax.Array)]
+        copied = self._snap_fn([leaves[i] for i in arr_idx])
+        for i, c in zip(arr_idx, copied):
+            leaves[i] = c
+        return jax.tree_util.tree_unflatten(treedef, leaves)
 
     def save(self, state, path: str, **kw):
         self.wait()
-        for leaf in jax.tree_util.tree_leaves(state):
-            if hasattr(leaf, "copy_to_host_async"):
-                leaf.copy_to_host_async()
-        state_host = jax.device_get(state)
+        try:
+            to_fetch = self._snapshot(state)
+        except Exception:  # no HBM headroom / non-jittable leaf: block on d2h
+            for leaf in jax.tree_util.tree_leaves(state):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+            to_fetch = jax.device_get(state)
 
         def _write():
-            save_checkpoint(state_host, path, **kw)
+            save_checkpoint(jax.device_get(to_fetch), path, **kw)
 
         self._thread = self._threading.Thread(target=_write, daemon=True)
         self._thread.start()

@@ -128,8 +128,14 @@ def test_async_checkpointer_matches_sync(tmp_path):
     os.makedirs(out)
 
     ck = AsyncCheckpointer()
+    original_leaves = jax.tree_util.tree_leaves(state)
     ck.save(state, out)
-    # simulate the train loop donating/overwriting the state immediately
+    # the train loop donates the state buffers into the next step the moment
+    # save() returns: simulate with real buffer deletion — the snapshot the
+    # writer fetches must be independent of the live buffers
+    for leaf in original_leaves:
+        if isinstance(leaf, jax.Array):
+            leaf.delete()
     state = state.replace(params={"w": jnp.zeros((2, 3), jnp.float32)})
     jax.block_until_ready(state.params["w"])
     ck.wait()
