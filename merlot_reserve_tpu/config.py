@@ -153,6 +153,16 @@ class DataConfig:
     # native fused path implement all six filters (mn_resize_patchify_k).
     random_resize_method: bool = True
 
+    # move training-frame preprocessing (flip/resize/augment/patchify,
+    # ops/vision_train.py) into the device example builder: host workers
+    # only decode JPEG bytes into fixed [frame_buffer_size]^2 uint8 buffers.
+    # Only consumed by DevicePretrainLoader / the fused data+train step.
+    on_device_frames: bool = False
+    # square frame-buffer side; must fit storage-res frames (the reference
+    # corpus caps frames at shorter-288/longest-512, data/process.py) plus
+    # the 8px flip markers. Oversize frames are host-downscaled and counted.
+    frame_buffer_size: int = 520
+
     fft_hop_length: int = 588
     fft_window_size: int = 1536
     num_mels: int = 64

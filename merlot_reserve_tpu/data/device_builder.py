@@ -27,6 +27,14 @@ Shape notes: everything is fixed-shape. Per-segment token counts cap at
 ``max_tokens_per_segment`` (host_prepare truncates and reports); raw text
 caps at ``raw_text_len``. The reference's ragged streams become
 (values, row_lengths) pairs exactly as in ops/masking_device.py.
+
+Accepted cap deviation (tests/test_device_builder_longtail.py): on an
+adversarial heavy-tail corpus (segments to 120 tokens, ~16% truncated)
+the caps shift the text-span length distribution by KL 0.013 nats / 0.43
+mean tokens vs an uncapped build under the same PRNG key — budgeted at
+<0.02 / <0.5. Spans themselves cap at text_span_length in EVERY builder
+(host, device, reference), so truncation only thins mask candidates; the
+``stats`` counters report exactly what was dropped.
 """
 
 from __future__ import annotations
@@ -102,7 +110,8 @@ class DeviceExampleBuilder:
         # where these counters are meaningful.)
         import threading
 
-        self.stats = {"truncated_segments": 0, "truncated_tokens": 0}
+        self.stats = {"truncated_segments": 0, "truncated_tokens": 0,
+                      "oversize_frames": 0}
         self._stats_lock = threading.Lock()
         self._mask_tbl = jnp.asarray(token_is_valid_table())
 
@@ -195,9 +204,58 @@ class DeviceExampleBuilder:
             "video_src_index": video_src,
         }
 
+    def host_prepare_frames(self, segments: List[Dict]) -> Dict[str, np.ndarray]:
+        """Decode one record's frames into fixed square uint8 buffers for
+        the on-device preprocessing path (ops/vision_train.py): JPEG decode
+        is the ONLY host work — flip/resize/augment/patchify run in-graph.
+        Frames too large for the buffer (anomalies; the reference corpus
+        caps storage frames at 512px, data/process.py) are host-downscaled
+        to fit and counted in ``stats['oversize_frames']``."""
+        from merlot_reserve_tpu.data.pretrain_pipeline import _decode_jpeg
+        from merlot_reserve_tpu.data import native as N_
+
+        FB = self.cfg.data.frame_buffer_size
+        S = self.S
+        frames = np.zeros((S, FB, FB, 3), np.uint8)
+        hw = np.zeros((S, 2), np.int32)
+        for i, seg in enumerate(segments):
+            data = bytes(seg["image/encoded"][0])
+            if N_.native_available():
+                img = N_.decode_jpeg_native(data, channels=3)
+            else:
+                img = _decode_jpeg(data, channels=3)
+            h, w = img.shape[:2]
+            if max(h, w) > FB - 8:  # -8: room for the flip side markers
+                with self._stats_lock:
+                    self.stats["oversize_frames"] += 1
+                from PIL import Image
+
+                s = (FB - 8) / max(h, w)
+                img = np.asarray(Image.fromarray(img).resize(
+                    (max(int(w * s), 1), max(int(h * s), 1)),
+                    Image.Resampling.BILINEAR))
+                h, w = img.shape[:2]
+            frames[i, :h, :w] = img
+            hw[i] = (h, w)
+        return {"frames_u8": frames, "frame_hw": hw}
+
     # ------------------------------------------------------------------
     # device side
     # ------------------------------------------------------------------
+
+    def _frames(self, key, raw):
+        """Training-frame preprocessing in-graph: flip-if-vertical +
+        random-scale resize + per-frame random Pillow kernel + random crop +
+        patchify (ops/vision_train.py; reference host equivalent:
+        dataloader.py:63-85 + data_utils.py:42-147)."""
+        from merlot_reserve_tpu.ops import vision_train as VT
+
+        d = self.cfg.data
+        return VT.augment_frames(
+            key, raw["frames_u8"], raw["frame_hw"],
+            tuple(self.cfg.model.output_grid),
+            (d.random_scale_min, d.random_scale_max),
+            d.random_resize_method)
 
     def _audio_clips(self, key, raw):
         """Random subsegment placement + window slice + dequant + speed
@@ -487,7 +545,7 @@ class DeviceExampleBuilder:
         table = jnp.concatenate(span_tables, 0)[:, :self.span_len]
         table = jnp.where(table >= 0, table, PADDING).astype(jnp.int32)
 
-        return {
+        out = {
             "audio_clips": clips,
             "text2audio": text2audio,
             "audio2text": audio2text,
@@ -496,6 +554,12 @@ class DeviceExampleBuilder:
             "text_spans": table,
             "video_src_index": raw["video_src_index"],
         }
+        if "frames_u8" in raw:
+            # fold_in (not a wider key split) keeps every other stage's
+            # draws identical whether or not frames ride along
+            out["images"] = self._frames(jax.random.fold_in(key, 0x46524D),
+                                         raw)
+        return out
 
     # ------------------------------------------------------------------
 
@@ -521,8 +585,13 @@ class DeviceExampleBuilder:
             batch[f"{k}/text_ptr"] = x[..., 2]
         batch["text_spans"] = ex["text_spans"]
         batch["video_src_index"] = ex["video_src_index"]
+        if "images" in ex:  # on-device frame path: [B, S, hw, 768]
+            imgs = ex["images"]
+            batch["images"] = imgs.reshape(B, -1, imgs.shape[-1])
         if self.cfg.model.use_bfloat16:
             batch["audio_clips"] = batch["audio_clips"].astype(jnp.bfloat16)
+            if "images" in batch:
+                batch["images"] = batch["images"].astype(jnp.bfloat16)
         return batch
 
 

@@ -338,7 +338,8 @@ class DevicePretrainLoader(PretrainLoader):
     stays exact (the reference re-seeds everything on restart,
     dataloader.py:922-924)."""
 
-    def __init__(self, *args, fused: bool = False, **kw):
+    def __init__(self, *args, fused: bool = False,
+                 on_device_frames: Optional[bool] = None, **kw):
         super().__init__(*args, **kw)
         from merlot_reserve_tpu.data.device_builder import DeviceExampleBuilder
 
@@ -350,11 +351,19 @@ class DevicePretrainLoader(PretrainLoader):
         # (training/trainer.py::make_jit_fused_data_train_step), one
         # dispatch per step, mask PRNG folded from state.step in-graph
         self.fused = fused
+        # on_device_frames: frame flip/resize/augment/patchify move in-graph
+        # too (ops/vision_train.py) — host workers only DECODE frame bytes
+        self.on_device_frames = (self.cfg.data.on_device_frames
+                                 if on_device_frames is None
+                                 else on_device_frames)
 
     def _build_one(self, record_rng):
         record, rng = record_rng
         segments = parse_segment_record(record, self.cfg.data.num_segments)
         raw = self._dev_builder.host_prepare(segments)
+        if self.on_device_frames:
+            raw.update(self._dev_builder.host_prepare_frames(segments))
+            return raw, None
         images = np.stack([self._builder.decode_image(s, rng)
                            for s in segments])
         return raw, images
@@ -366,26 +375,31 @@ class DevicePretrainLoader(PretrainLoader):
         from merlot_reserve_tpu.data.device_builder import stack_raw_examples
 
         raws = [r for r, _ in examples]
-        images = np.stack([im for _, im in examples])
-        B = images.shape[0]
-        imgs = images.reshape(B, -1, images.shape[-1]).astype(np.float32)
+        if self.on_device_frames:
+            imgs = None
+        else:
+            images = np.stack([im for _, im in examples])
+            B = images.shape[0]
+            imgs = images.reshape(B, -1, images.shape[-1]).astype(np.float32)
         if self.fused:
             raw_batch = stack_raw_examples(raws)
             assert "images" not in raw_batch
-            if self.use_bfloat16:
-                # cast host-side: images dominate the host->device bytes
-                # (the in-graph cast would re-do this as a no-op)
-                imgs = imgs.astype(jnp.bfloat16)
-            raw_batch["images"] = imgs
+            if imgs is not None:
+                if self.use_bfloat16:
+                    # cast host-side: images dominate the host->device bytes
+                    # (the in-graph cast would re-do this as a no-op)
+                    imgs = imgs.astype(jnp.bfloat16)
+                raw_batch["images"] = imgs
             return raw_batch
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                  self._batch_counter)
         self._batch_counter += 1
         raw_batch = jax.tree.map(jnp.asarray, stack_raw_examples(raws))
         batch = dict(self._dev_builder.build_batch(key, raw_batch))
-        if self.use_bfloat16:
-            imgs = imgs.astype(jnp.bfloat16)
-        batch["images"] = imgs
+        if imgs is not None:
+            if self.use_bfloat16:
+                imgs = imgs.astype(jnp.bfloat16)
+            batch["images"] = imgs
         return batch
 
 

@@ -107,12 +107,15 @@ def run_pretraining(
     first_batch = next(batch_iter)
     if fused_builder is not None:
         # raw arrays -> one eager build for shape-complete param init
+        # (with on_device_frames the raw dict carries frames_u8/frame_hw
+        # and build_batch assembles "images" in-graph)
         raw0 = dict(first_batch)
-        images0 = raw0.pop("images")
+        images0 = raw0.pop("images", None)
         b0 = dict(jax.device_get(fused_builder.build_batch(
             jax.random.PRNGKey(data_seed),
             jax.tree.map(jnp.asarray, raw0))))
-        b0["images"] = images0
+        if images0 is not None:
+            b0["images"] = images0
         params = model.init_params(b0)
     else:
         params = model.init_params(first_batch)

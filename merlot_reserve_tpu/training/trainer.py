@@ -179,13 +179,17 @@ def make_jit_fused_data_train_step(mesh: Mesh, state, builder,
 
     def fused(state, raw):
         raw = dict(raw)
-        images = raw.pop("images")
+        # host-decoded patches ride along as "images"; with on-device
+        # frames (cfg.data.on_device_frames) raw carries "frames_u8"/
+        # "frame_hw" instead and build_batch assembles images in-graph
+        images = raw.pop("images", None)
         key = jax.random.fold_in(jax.random.PRNGKey(data_seed),
                                  state.step.astype(jnp.uint32))
         batch = dict(builder.build_batch(key, raw))
-        if builder.cfg.model.use_bfloat16:
-            images = images.astype(jnp.bfloat16)
-        batch["images"] = images
+        if images is not None:
+            if builder.cfg.model.use_bfloat16:
+                images = images.astype(jnp.bfloat16)
+            batch["images"] = images
         return train_step(state, batch, use_bfloat16_grads)
 
     jitted = jax.jit(

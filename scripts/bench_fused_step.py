@@ -29,6 +29,7 @@ import numpy as np
 def main():
     args = sys.argv[1:]
     unroll = "--unroll" in args
+    frames = "--on_device_frames" in args  # frames assembled in-graph too
     batch_sizes = [int(a) for a in args if not a.startswith("--")] or [1, 2]
     n_chain = int(os.environ.get("BENCH_CHAIN", "8"))
 
@@ -50,6 +51,8 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     cfg = mr.load_config("base", scan_layers=not unroll)
+    if frames:
+        cfg = cfg.replace_data(on_device_frames=True)
     mesh = make_mesh(dp=1, devices=jax.devices()[:1])
 
     corpus = os.path.join(tempfile.mkdtemp(prefix="bench_fused"), "c.tfrecord")
@@ -71,10 +74,11 @@ def main():
 
         # eager one-shot build for param init
         raw0 = dict(raw_np)
-        images0 = raw0.pop("images")
+        images0 = raw0.pop("images", None)
         b0 = dict(jax.device_get(builder.build_batch(
             jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, raw0))))
-        b0["images"] = np.asarray(images0, np.float32)
+        if images0 is not None:
+            b0["images"] = np.asarray(images0, np.float32)
         params = pre.init_params(b0)
         state = construct_train_state(cfg.optimizer, pre, params)
         del params
@@ -82,16 +86,17 @@ def main():
         def make_chained(n):
             def fused_chain(state, raw):
                 raw = dict(raw)
-                images = raw.pop("images")
+                images = raw.pop("images", None)
 
                 def body(s, _):
                     key = jax.random.fold_in(jax.random.PRNGKey(0),
                                              s.step.astype(jnp.uint32))
                     batch = dict(builder.build_batch(key, raw))
-                    imgs = images
-                    if cfg.model.use_bfloat16:
-                        imgs = imgs.astype(jnp.bfloat16)
-                    batch["images"] = imgs
+                    if images is not None:
+                        imgs = images
+                        if cfg.model.use_bfloat16:
+                            imgs = imgs.astype(jnp.bfloat16)
+                        batch["images"] = imgs
                     s2, info = train_step(s, batch)
                     return s2, info
 
@@ -138,7 +143,8 @@ def main():
             "metric": "fused_data_train_step",
             "value": round(segs, 1), "unit": "segments/s/chip",
             "per_chip_batch": bsz, "step_ms": round(step_s * 1e3, 1),
-            "scan_layers": not unroll, "loss_probe": loss, "chain": n_chain,
+            "scan_layers": not unroll, "on_device_frames": frames,
+            "loss_probe": loss, "chain": n_chain,
         }), flush=True)
         del state
 

@@ -69,14 +69,19 @@ def bench_stages(cfg, path, n: int):
 
 
 def bench_loader(cfg, paths, n_batches: int, batch_size: int, workers: int,
-                 use_processes: bool, on_device: bool = False):
+                 use_processes: bool, on_device: bool = False,
+                 fused: bool = False):
     from merlot_reserve_tpu.data.loader import (DevicePretrainLoader,
                                                 PretrainLoader)
 
     cls = DevicePretrainLoader if on_device else PretrainLoader
+    # fused=True makes the device loader yield raw host arrays with ZERO
+    # device calls — the pure host-floor measurement (assembly cost then
+    # lives inside the fused train step, scripts/bench_fused_step.py)
+    kw = {"fused": True} if (on_device and fused) else {}
     loader = cls(paths, cfg, batch_size=batch_size, seed=0,
                  num_workers=workers, prefetch=2,
-                 use_processes=use_processes)
+                 use_processes=use_processes, **kw)
     it = iter(loader)
     next(it)  # warm pools/caches
     t0 = time.perf_counter()
@@ -128,14 +133,25 @@ def main():
     ap.add_argument("--on-device", action="store_true",
                     help="DevicePretrainLoader: host workers only decode "
                          "bytes; example assembly runs on the accelerator")
+    ap.add_argument("--on-device-frames", action="store_true",
+                    help="frames stay raw uint8 buffers too (flip/resize/"
+                         "augment/patchify in-graph, ops/vision_train.py); "
+                         "implies --on-device")
+    ap.add_argument("--fused", action="store_true",
+                    help="loader yields raw host arrays with no device "
+                         "calls (the pure host-floor measurement)")
     ap.add_argument("--reference", action="store_true",
                     help="measure the reference's own tf.data pipeline "
                          "instead (same synthetic records, this host)")
     args = ap.parse_args()
+    if args.on_device_frames:
+        args.on_device = True
 
     import merlot_reserve_tpu as mr
 
     cfg = mr.load_config("base")
+    if args.on_device_frames:
+        cfg = cfg.replace_data(on_device_frames=True)
 
     with tempfile.TemporaryDirectory() as td:
         from merlot_reserve_tpu.data.synthetic import write_synthetic_corpus
@@ -163,11 +179,14 @@ def main():
         chip_need_exps = 12.0  # v5e chip at per-chip batch 2 (BASELINE.md)
         for w in [int(x) for x in args.workers.split(",")]:
             exps = bench_loader(cfg, paths, args.batches, args.batch_size, w,
-                                args.processes, on_device=args.on_device)
+                                args.processes, on_device=args.on_device,
+                                fused=args.fused)
             print(json.dumps({
                 "metric": "loader_examples_per_sec",
                 "value": round(exps, 2), "unit": "examples/s",
                 "workers": w, "on_device": args.on_device,
+                "on_device_frames": args.on_device_frames,
+                "fused": args.fused,
                 "mode": ("process" if args.processes
                          else "thread"),
                 "segments_per_sec": round(exps * cfg.data.num_segments, 1),

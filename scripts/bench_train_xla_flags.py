@@ -35,13 +35,18 @@ def main():
     batch_sizes = []
     for a in args:
         if take_next:
+            if "=" not in a:
+                raise SystemExit(f"--opt expects key=value, got {a!r} "
+                                 "(usage: --opt xla_flag_name=value)")
             opts.append(a)
             take_next = False
         elif a == "--opt":
             take_next = True
         elif not a.startswith("--"):
             batch_sizes.append(int(a))
-    bsz = batch_sizes[0] if batch_sizes else 1
+    if take_next:
+        raise SystemExit("trailing --opt with no key=value argument")
+    batch_sizes = batch_sizes or [1]
     n_chain = int(os.environ.get("BENCH_CHAIN", "8"))
 
     import jax
@@ -60,7 +65,9 @@ def main():
     from merlot_reserve_tpu.training.trainer import train_step
 
     if opts:
-        sweep = [dict(kv.split("=", 1) for kv in opts)]
+        # always time the default compile in the same run so the custom
+        # options have an in-run baseline to compare against
+        sweep = [None, dict(kv.split("=", 1) for kv in opts)]
     else:
         sweep = [None,
                  {"xla_tpu_scoped_vmem_limit_kib": "65536"},
@@ -70,17 +77,6 @@ def main():
     n_spans = cfg.data.num_text_spans_to_include
     pre = MerlotReservePretrainer.from_config(cfg)
     mesh = make_mesh(dp=1, devices=jax.devices()[:1])
-
-    batch_np = make_dummy_batch(cfg, batch_size=bsz, seed=0,
-                                num_text_spans=n_spans)
-    params = pre.init_params(batch_np)
-    state = construct_train_state(cfg.optimizer, pre, params)
-    del params
-
-    s_shardings = state_shardings(mesh, state, zero1=True)
-    b_sharding = batch_sharding(mesh)
-    state = jax.device_put(state, s_shardings)
-    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -93,53 +89,77 @@ def main():
             return st2, jax.tree.map(lambda x: x[-1], infos)
         return fn
 
-    def compile_step(n, copts):
-        jitted = jax.jit(chained(n), in_shardings=(s_shardings, b_sharding),
-                         out_shardings=(s_shardings, NamedSharding(mesh, P())),
-                         donate_argnums=())
-        with activate_mesh(mesh):
-            lowered = jitted.lower(state, batch)
-            return lowered.compile(
-                compiler_options=copts) if copts else lowered.compile()
-
     def sync(tree):
         leaf = jax.tree.leaves(tree)[0]
         return float(np.asarray(leaf).reshape(-1)[0])
 
-    for copts in sweep:
-        try:
-            t_c = time.time()
-            c1 = compile_step(1, copts)
-            cN = compile_step(n_chain, copts)
-            t_compile = time.time() - t_c
-        except Exception as e:  # unknown/rejected option: report, keep going
-            print(json.dumps({"compiler_options": copts,
-                              "error": repr(e)[:300]}), flush=True)
-            continue
-        _, info = c1(state, batch)
-        sync(info)
-        t1 = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            _, info = c1(state, batch)
-            sync(info)
-            t1 = min(t1, time.time() - t0)
-        _, info = cN(state, batch)
-        sync(info)
-        tN = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            _, info = cN(state, batch)
-            loss = sync(info)
-            tN = min(tN, time.time() - t0)
-        step_s = (tN - t1) / (n_chain - 1)
-        print(json.dumps({
-            "compiler_options": copts, "per_chip_batch": bsz,
-            "scan_layers": not unroll,
-            "step_ms": round(step_s * 1e3, 2),
-            "segs_per_s": round(bsz * cfg.data.num_segments / step_s, 1),
-            "compile_s": round(t_compile, 1), "loss_probe": loss,
-        }), flush=True)
+    for bsz in batch_sizes:
+        batch_np = make_dummy_batch(cfg, batch_size=bsz, seed=0,
+                                    num_text_spans=n_spans)
+        params = pre.init_params(batch_np)
+        state = construct_train_state(cfg.optimizer, pre, params)
+        del params
+
+        s_shardings = state_shardings(mesh, state, zero1=True)
+        b_sharding = batch_sharding(mesh)
+        # donate_argnums=() ON PURPOSE: one resident state is reused across
+        # every sweep variant (donation would invalidate it after the first
+        # call). Through the axon relay each non-donated execution re-uploads
+        # params (~8 s/call, CLAUDE.md) — that overhead is IDENTICAL for the
+        # 1-chain and N-chain programs, so it cancels in (tN-t1)/(N-1) and
+        # step_ms stays valid; it only inflates wall time (~16 uploads/variant)
+        state = jax.device_put(state, s_shardings)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+        def compile_step(n, copts):
+            jitted = jax.jit(chained(n),
+                             in_shardings=(s_shardings, b_sharding),
+                             out_shardings=(s_shardings,
+                                            NamedSharding(mesh, P())),
+                             donate_argnums=())
+            with activate_mesh(mesh):
+                lowered = jitted.lower(state, batch)
+                return lowered.compile(
+                    compiler_options=copts) if copts else lowered.compile()
+
+        for copts in sweep:
+            # one try around compile AND execution: a variant that compiles
+            # but dies at run time (aggressive scoped-VMEM values, relay
+            # hiccups) must not abort the remaining variants
+            try:
+                t_c = time.time()
+                c1 = compile_step(1, copts)
+                cN = compile_step(n_chain, copts)
+                t_compile = time.time() - t_c
+                _, info = c1(state, batch)
+                sync(info)
+                t1 = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    _, info = c1(state, batch)
+                    sync(info)
+                    t1 = min(t1, time.time() - t0)
+                _, info = cN(state, batch)
+                sync(info)
+                tN = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    _, info = cN(state, batch)
+                    loss = sync(info)
+                    tN = min(tN, time.time() - t0)
+            except Exception as e:  # rejected option/run failure: keep going
+                print(json.dumps({"compiler_options": copts,
+                                  "per_chip_batch": bsz,
+                                  "error": repr(e)[:300]}), flush=True)
+                continue
+            step_s = (tN - t1) / (n_chain - 1)
+            print(json.dumps({
+                "compiler_options": copts, "per_chip_batch": bsz,
+                "scan_layers": not unroll,
+                "step_ms": round(step_s * 1e3, 2),
+                "segs_per_s": round(bsz * cfg.data.num_segments / step_s, 1),
+                "compile_s": round(t_compile, 1), "loss_probe": loss,
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,10 @@ def main():
                          "per step builds the batch and trains on it "
                          "(trainer.make_jit_fused_data_train_step); implies "
                          "--on_device_data")
+    ap.add_argument("--on_device_frames", action="store_true",
+                    help="move frame flip/resize/augment/patchify in-graph "
+                         "too (ops/vision_train.py): host workers only "
+                         "DECODE frame bytes; implies --on_device_data")
     args = ap.parse_args()
 
     if args.distributed:
@@ -53,6 +57,8 @@ def main():
     from merlot_reserve_tpu.training.pretrain import run_pretraining
 
     cfg = mr.load_config(args.config)
+    if args.on_device_frames:
+        cfg = cfg.replace_data(on_device_frames=True)
 
     pattern = args.train_fns or cfg.data.train_fns
     if "{" in pattern:
@@ -66,7 +72,8 @@ def main():
         cfg, files,
         host_index=jax.process_index(), num_hosts=jax.process_count(),
         seed=args.seed, use_bfloat16=cfg.model.use_bfloat16,
-        on_device=args.on_device_data or args.fused_data,
+        on_device=(args.on_device_data or args.fused_data
+                   or args.on_device_frames),
         **({"fused": True} if args.fused_data else {}))
 
     def log_fn(step, metrics):

@@ -89,6 +89,34 @@ def main():
         print(f"worker {pid} done", flush=True)
         return
 
+    if layout == "fused_dev":
+        # multi-host ON-DEVICE DATA PLANE (VERDICT r3 item 6): each worker's
+        # DevicePretrainLoader(fused=True, on_device_frames=True) reads its
+        # file shard and yields raw byte-decoded arrays (incl. uint8 frame
+        # buffers); form_global_batch assembles the global raw batch across
+        # the processes and the fused train step builds examples IN-GRAPH.
+        from merlot_reserve_tpu.data.loader import DevicePretrainLoader
+        from merlot_reserve_tpu.data.synthetic import write_synthetic_corpus
+
+        cfg = cfg.replace_data(on_device_frames=True, frame_buffer_size=328)
+        # same seeds on both workers -> byte-identical shard files
+        files = [out_json + f".shard{i}.tfrecord" for i in range(2)]
+        for i, p in enumerate(files):
+            write_synthetic_corpus(p, cfg, num_records=8, seed=100 + i)
+        loader = DevicePretrainLoader(files, cfg, batch_size=4,
+                                      host_index=pid, num_hosts=2, seed=3,
+                                      num_workers=2, repeat=True, fused=True)
+        mesh = make_mesh(dp=8)
+        logged = []
+        run_pretraining(cfg, loader, num_steps=3, mesh=mesh, log_every=1,
+                        tracker=NullTracker(), data_seed=7,
+                        fused_builder=loader._dev_builder,
+                        log_fn=lambda s, m: logged.append((s, m)))
+        with open(out_json, "w") as f:
+            json.dump(logged, f)
+        print(f"worker {pid} done", flush=True)
+        return
+
     if layout == "ring4x2":
         import dataclasses as dc
 

@@ -111,6 +111,40 @@ def test_fused_masks_fresh_each_step(cfg, corpus):
                for k in m_step0)
 
 
+def test_fused_step_with_on_device_frames(cfg, corpus):
+    """Fused step over RAW FRAME BYTES: on_device_frames moves the frame
+    flip/resize/augment/patchify in-graph too — the fused program consumes
+    uint8 frame buffers and must reproduce the two-dispatch device-builder
+    path with the same key (VERDICT r3 item 1)."""
+    fcfg = cfg.replace_data(on_device_frames=True, frame_buffer_size=328)
+    loader = DevicePretrainLoader([corpus], fcfg, batch_size=2, seed=7,
+                                  num_workers=1, repeat=True, fused=True)
+    raw_batch = next(iter(loader))
+    assert "frames_u8" in raw_batch and "images" not in raw_batch
+    builder = loader._dev_builder
+
+    key = jax.random.fold_in(jax.random.PRNGKey(7), jnp.uint32(0))
+    batch = dict(builder.build_batch(
+        key, jax.tree.map(jnp.asarray, dict(raw_batch))))
+    assert "images" in batch  # assembled in-graph
+
+    model = MerlotReservePretrainer.from_config(fcfg)
+    params = model.init_params(jax.device_get(batch))
+    state = construct_train_state(fcfg.optimizer, model, params)
+    mesh = make_mesh(dp=2, devices=jax.devices("cpu")[:2])
+
+    step_fn, st1 = make_jit_train_step(mesh, state, donate=False)
+    st1b, m1 = step_fn(st1, batch)
+
+    fused_fn, st2 = make_jit_fused_data_train_step(mesh, state, builder,
+                                                   data_seed=7, donate=False)
+    st2b, m2 = fused_fn(st2, {k: jnp.asarray(v)
+                              for k, v in raw_batch.items()})
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-6,
+                                   err_msg=k)
+
+
 @pytest.mark.slow
 def test_run_pretraining_fused(cfg, corpus):
     from merlot_reserve_tpu.training.pretrain import run_pretraining

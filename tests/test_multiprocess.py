@@ -147,6 +147,79 @@ def test_two_process_ring_attention_crosses_hosts(tmp_path):
         f"cross-host ring {mp_logged} vs single-process dense {logged}")
 
 
+def test_two_process_fused_device_data_plane(tmp_path):
+    """The on-device data plane, multi-host (VERDICT r3 item 6): each
+    process's DevicePretrainLoader (fused + on_device_frames) reads its
+    FILE SHARD and feeds raw arrays; form_global_batch assembles the global
+    raw batch across processes and the fused step builds examples (incl.
+    frame preprocessing) in-graph. Loss curve must equal a single-process
+    dp8 run over the same global raw batches."""
+    port = _free_port()
+    outs = [str(tmp_path / f"fd_loss_{i}.json") for i in range(2)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(_HERE, "_mp_worker.py"),
+         str(i), str(port), outs[i], "fused_dev"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    logs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"fused_dev worker failed:\n{log[-4000:]}"
+    with open(outs[0]) as f:
+        mp_logged = json.load(f)
+
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    import merlot_reserve_tpu as mr
+    from merlot_reserve_tpu.data.loader import DevicePretrainLoader
+    from merlot_reserve_tpu.data.synthetic import write_synthetic_corpus
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.training.pretrain import run_pretraining
+    from merlot_reserve_tpu.utils.experiment import NullTracker
+
+    cfg = mr.load_config("base", hidden_size=64, joint_num_layers=2,
+                         vit_num_layers=2, audio_num_layers=2,
+                         span_num_layers=2, size_per_head=32,
+                         output_grid=(4, 4), use_bfloat16=False)
+    cfg = cfg.replace_data(num_segments=4, num_segment_groups=2, seq_len=80,
+                           lang_seq_len=40, num_text_spans_to_include=8,
+                           on_device_frames=True, frame_buffer_size=328)
+    cfg = dataclasses.replace(cfg, optimizer=dataclasses.replace(
+        cfg.optimizer, num_train_steps=100, num_warmup_steps=10))
+
+    # same generator seeds as the workers -> byte-identical shard files
+    files = [str(tmp_path / f"sp.shard{i}.tfrecord") for i in range(2)]
+    for i, p in enumerate(files):
+        write_synthetic_corpus(p, cfg, num_records=8, seed=100 + i)
+
+    # emulate the two hosts: per-shard loaders whose half-batches concat in
+    # process order — exactly what form_global_batch assembles on the mesh
+    loaders = [DevicePretrainLoader(files, cfg, batch_size=4, host_index=i,
+                                    num_hosts=2, seed=3, num_workers=2,
+                                    repeat=True, fused=True)
+               for i in range(2)]
+
+    def global_batches():
+        for raw0, raw1 in zip(iter(loaders[0]), iter(loaders[1])):
+            yield {k: np.concatenate([raw0[k], raw1[k]]) for k in raw0}
+
+    logged = []
+    run_pretraining(cfg, global_batches(), num_steps=3,
+                    mesh=make_mesh(dp=8, devices=jax.devices("cpu")[:8]),
+                    log_every=1, tracker=NullTracker(), data_seed=7,
+                    fused_builder=loaders[0]._dev_builder,
+                    log_fn=lambda s, m: logged.append((s, m)))
+
+    assert _close(mp_logged, [list(x) for x in _jsonish(logged)]), (
+        f"multi-process fused device plane {mp_logged} vs "
+        f"single-process {logged}")
+
+
 def _jsonish(logged):
     return [(s, {k: float(v) for k, v in m.items()}) for s, m in logged]
 
