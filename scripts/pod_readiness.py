@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Pod-topology AOT validation (VERDICT r3 item 3): compile the FULL base
+production train step for real multi-chip TPU topologies WITHOUT the
+hardware, via JAX AOT topology descriptions
+(jax.experimental.topologies.get_topology_desc — the v5e compiler runs
+chiplessly), and report per layout:
+
+  * clean compile (GSPMD partitioning at the real topology),
+  * the collective audit (parallel/comm.py: per-kind counts + result-buffer
+    bytes/step over ICI/DCN),
+  * XLA's memory analysis (argument/temp/output bytes per chip) against
+    parallel/memory.py's planner prediction.
+
+Layouts (the reference's operating regime is pure dp on a v3 pod,
+/root/reference/pretrain/train.py:106-107 + configs/base.yaml:70-74; sp and
+multi-slice are this framework's additions):
+
+  dp8        v5e:2x4, one slice, ZeRO-1
+  dp4xsp2    v5e:2x4, sequence-sharded joint tower (seq_shard_axis)
+  dcn16      v5e:2x4 x 2 slices (real slice_index!), dp16 hybrid mesh
+
+Results go into docs/PARALLELISM.md's pod-readiness table.
+
+Usage: python scripts/pod_readiness.py [--batch-per-chip 1] [--unroll]
+Prints one JSON line per layout.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def abstract_train_state(cfg, batch):
+    """ShapeDtypeStructs of the full train state without materializing the
+    ~2.6 GB of base params: eval_shape over init+optimizer construction."""
+    import jax
+
+    from merlot_reserve_tpu.models import MerlotReservePretrainer
+    from merlot_reserve_tpu.training.optimization import construct_train_state
+
+    pre = MerlotReservePretrainer.from_config(cfg)
+
+    def make(batch):
+        params = pre.init(jax.random.PRNGKey(0), batch)["params"]
+        return construct_train_state(cfg.optimizer, pre, params)
+
+    return jax.eval_shape(make, batch)
+
+
+def compile_layout(name, cfg, mesh, batch_np):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from merlot_reserve_tpu.parallel.comm import (parse_hlo_collectives,
+                                                  summarize_collectives)
+    from merlot_reserve_tpu.parallel.mesh import activate_mesh
+    from merlot_reserve_tpu.parallel.sharding import (batch_sharding,
+                                                      state_shardings)
+    from merlot_reserve_tpu.training.trainer import train_step
+
+    abs_state = abstract_train_state(cfg, batch_np)
+    s_sh = state_shardings(mesh, abs_state, zero1=True)
+    b_sh = batch_sharding(mesh)
+
+    state_sds = jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+        abs_state, s_sh)
+    batch_sds = {k: jax.ShapeDtypeStruct(np.asarray(v).shape,
+                                         np.asarray(v).dtype, sharding=b_sh)
+                 for k, v in batch_np.items()}
+
+    jitted = jax.jit(train_step,
+                     out_shardings=(s_sh, NamedSharding(mesh, P())),
+                     donate_argnums=(0,))
+    with activate_mesh(mesh):
+        compiled = jitted.lower(state_sds, batch_sds).compile()
+
+    ma = compiled.memory_analysis()
+    hlo = compiled.as_text()
+    coll = summarize_collectives(hlo)
+    top = sorted(parse_hlo_collectives(hlo), key=lambda r: -r["bytes"])[:8]
+    # per-chip high water: live args + temps + (outputs - donated aliases)
+    hbm = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+           + ma.output_size_in_bytes - ma.alias_size_in_bytes)
+    return {
+        "layout": name,
+        "compile": "clean",
+        "argument_gib": round(ma.argument_size_in_bytes / 2**30, 3),
+        "temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
+        "output_gib": round(ma.output_size_in_bytes / 2**30, 3),
+        "aliased_gib": round(ma.alias_size_in_bytes / 2**30, 3),
+        "hbm_highwater_gib": round(hbm / 2**30, 3),
+        "collectives": {k: v for k, v in coll.items()
+                        if k not in ("total_bytes", "total_count")},
+        "collective_total_mib_per_step": round(coll["total_bytes"] / 2**20, 1),
+        "collective_count": coll["total_count"],
+        "top_collectives": [
+            {"op": r["op"], "mib": round(r["bytes"] / 2**20, 1),
+             "shape": r.get("shape", "")[:100]} for r in top],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-per-chip", type=int, default=1)
+    ap.add_argument("--unroll", action="store_true",
+                    help="unrolled layers (production training layout; "
+                         "scan is the compile-size-safe default)")
+    ap.add_argument("--layouts", default="dp8,dp4xsp2,dcn16")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_cache"))
+    from jax.experimental import topologies
+
+    import merlot_reserve_tpu as mr
+    from merlot_reserve_tpu.data.dummy import make_dummy_batch
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.parallel.memory import estimate_train_hbm
+
+    scan = not args.unroll
+    bpc = args.batch_per_chip
+
+    topo8 = topologies.get_topology_desc(platform="tpu",
+                                         topology_name="v5e:2x4")
+    topo16 = topologies.get_topology_desc(platform="tpu",
+                                          topology_name="v5e:2x4",
+                                          num_slices=2)
+
+    def run(name, cfg, mesh, n_chips, sp=1):
+        batch = make_dummy_batch(cfg, batch_size=bpc * n_chips, seed=0,
+                                 num_text_spans=cfg.data.num_text_spans_to_include)
+        rec = compile_layout(name, cfg, mesh, batch)
+        plan = estimate_train_hbm(cfg, bpc, zero1_dp=n_chips, sp=sp)
+        rec["planner_total_gib"] = round(plan["total"] / 2**30, 3)
+        rec["scan_layers"] = scan
+        rec["per_chip_batch"] = bpc
+        print(json.dumps(rec), flush=True)
+
+    wanted = set(args.layouts.split(","))
+    if "dp8" in wanted:
+        cfg = mr.load_config("base", scan_layers=scan)
+        mesh = make_mesh(dp=8, devices=list(topo8.devices))
+        run("dp8 (v5e:2x4)", cfg, mesh, 8)
+
+    if "dp4xsp2" in wanted:
+        cfg = mr.load_config("base", scan_layers=scan, seq_shard_axis="sp")
+        mesh = make_mesh(dp=4, sp=2, devices=list(topo8.devices))
+        run("dp4xsp2 (v5e:2x4)", cfg, mesh, 8, sp=2)
+
+    if "dcn16" in wanted:
+        cfg = mr.load_config("base", scan_layers=scan)
+        mesh = make_mesh(dp=16, devices=list(topo16.devices), dcn_dp=2)
+        run("dp16 dcn_dp=2 (2x v5e:2x4)", cfg, mesh, 16)
+
+
+if __name__ == "__main__":
+    main()

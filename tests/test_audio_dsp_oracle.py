@@ -170,6 +170,7 @@ def test_mel_filterbank_structure():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # 40s end-to-end sweep; unit oracles cover the DSP fast
 def test_e2e_error_budget_preserves_ranking(tf, waveform):
     """Feed the audio tower with (a) our fused on-device f32 pipeline and
     (b) a float64 tf.signal-STFT + spec-filterbank oracle mel; CLS

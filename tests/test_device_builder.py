@@ -176,7 +176,8 @@ def test_build_invariants(cfg, builder, raw):
     assert np.isfinite(clips).all()
 
 
-@pytest.mark.parametrize("span_len", [11, 18])
+@pytest.mark.parametrize("span_len", [
+    11, pytest.param(18, marks=pytest.mark.slow)])
 def test_build_non_default_span_length(cfg, segments, span_len):
     """text_span_length != 15 must still build: the random_text span table
     keeps the configured width (regression: it was hard-coded to 15, which

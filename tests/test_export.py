@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # module fixture exports a model (~50s setup)
+
 import merlot_reserve_tpu as mr
 from merlot_reserve_tpu.models import MerlotReserve
 from merlot_reserve_tpu.tokenizer import AUDIOSPAN, MASK

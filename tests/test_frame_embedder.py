@@ -43,6 +43,7 @@ def test_features_param_count_matches_torchvision():
     assert _count_learnable(params) == 2_223_872, _count_learnable(params)
 
 
+@pytest.mark.slow  # heaviest fast-tier test (76s): full MobileNetV2 fwd
 def test_embedding_shape_and_determinism():
     emb = MobileNetV2Embedder()
     frames = np.random.RandomState(0).randint(0, 256, (3, 180, 320, 3),

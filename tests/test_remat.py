@@ -9,7 +9,9 @@ from merlot_reserve_tpu.models.layers import TransformerEncoder
 
 
 @pytest.mark.parametrize("scan,policy", [
-    (False, None), (True, None), (True, "dots_saveable")])
+    (False, None),
+    pytest.param(True, None, marks=pytest.mark.slow),
+    pytest.param(True, "dots_saveable", marks=pytest.mark.slow)])
 def test_remat_grads_match(scan, policy):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, 9, 64).astype(np.float32))
@@ -30,6 +32,7 @@ def test_remat_grads_match(scan, policy):
     np.testing.assert_allclose(np.asarray(g_ckpt), np.asarray(g_plain), atol=1e-5)
 
 
+@pytest.mark.slow  # two extra big compiles; grads-match covers correctness
 def test_remat_policy_changes_saved_residuals():
     """The policy knob must actually change WHAT is saved, not just stay
     numerically equal: XLA's buffer assignment for the grad computation

@@ -63,6 +63,7 @@ def test_ring_is_differentiable(sp_mesh):
     np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_full), atol=3e-4)
 
 
+@pytest.mark.slow  # 37s; the packed-video flash ring test covers it fast
 def test_ring_flash_matches_lax_and_full(sp_mesh):
     """Pallas ring (flash kernel per step + overlapped ppermute) vs the lax
     ring and vs single-device full attention, packed segments + padding."""
@@ -134,6 +135,7 @@ def test_ring_rdma_matches_full(sp_mesh):
                                np.asarray(out_full) * mask, atol=2e-5)
 
 
+@pytest.mark.slow  # 34s; ulysses encoder variant keeps fast coverage
 def test_encoder_ring_impl_matches_dense(sp_mesh):
     """Model-level wiring: TransformerEncoder(attention_impl='ring',
     seq_shard_axis='sp') under an active mesh must match the dense XLA

@@ -179,6 +179,7 @@ def test_augment_frames_pinned_draws_match_host_decode(cfg):
         assert err < 2e-4, (i, shapes[i], draws["kernel"][i], err)
 
 
+@pytest.mark.slow  # 57s full-builder jit; kernel parity tests stay fast
 def test_device_builder_on_device_frames(cfg, tmp_path):
     """host_prepare_frames + build_batch: images come out of the ONE jit
     with collated shape/range, and the non-image streams are bit-identical
@@ -212,6 +213,7 @@ def test_device_builder_on_device_frames(cfg, tmp_path):
                                       np.asarray(batch[k]), err_msg=k)
 
 
+@pytest.mark.slow  # 36s loader-level; fused-step test covers the wiring
 def test_device_loader_on_device_frames(cfg, tmp_path):
     """DevicePretrainLoader(on_device_frames): batches carry device-built
     images; the fused variant yields raw frames for in-graph assembly."""

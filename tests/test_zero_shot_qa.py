@@ -97,6 +97,7 @@ def _init(model, batch):
     return model.init_params({k: np.asarray(v) for k, v in batch.items()})
 
 
+@pytest.mark.slow  # 80s; the VCR variant covers the shared path fast
 def test_tvqa_zero_shot_forward(tvqa_file, cfg):
     import jax.numpy as jnp
 
