@@ -215,19 +215,48 @@ class MerlotReservePretrainer(MerlotReserve):
             tokens=flat["random_text"], padding_len=data.seq_len)
 
         order = sorted(streams.keys())
+        rows_per_ex = [streams[k]["x"].shape[0] // B for k in order]
+
+        # B-MAJOR fusion: every stream tensor is [B*n_k, ...] with B major,
+        # so concatenating as [B, n_k, ...] along the PER-EXAMPLE axis keeps
+        # dim 0 = the dp-sharded batch. A plain row-axis concat of
+        # dp-sharded operands has no valid shard-local form — GSPMD
+        # replicates the operands to reshard, and that mis-anchoring
+        # propagated INTO the joint layer scan (full attention-score
+        # all-gathers in the dp8 pod program — found by
+        # scripts/pod_readiness.py's collective audit, round 4). Per-row
+        # math is unchanged: same rows, same per-stream order.
+        def bmajor_concat(key):
+            parts = [streams[k][key].reshape((B, n) + streams[k][key].shape[1:])
+                     for k, n in zip(order, rows_per_ex)]
+            cat = jnp.concatenate(parts, 1)
+            return cat.reshape((-1,) + cat.shape[2:])
+
+        x = bmajor_concat("x")
+        coords = bmajor_concat("rotary_coords") if self.config.do_rotary else None
+        is_valid = bmajor_concat("is_valid")
+        segment_ids = bmajor_concat("segment_ids")
+
+        # anchor: rows are the dp-sharded batch dim. One constraint here
+        # gives GSPMD a solid reference for the whole joint stack (the
+        # analogue of the seq_shard_axis constraint in layers.py:268-275).
+        if not self.is_initializing():
+            from merlot_reserve_tpu.parallel.mesh import dp_anchor
+
+            x, is_valid, segment_ids = dp_anchor(x, is_valid, segment_ids)
+            if coords is not None:
+                coords = dp_anchor(coords)
+
         fused = self.joint_transformer(
-            jnp.concatenate([streams[k]["x"] for k in order], 0),
-            rotary_coords=(jnp.concatenate(
-                [streams[k]["rotary_coords"] for k in order], 0)
-                if self.config.do_rotary else None),
-            is_valid=jnp.concatenate([streams[k]["is_valid"] for k in order], 0),
-            segment_ids=jnp.concatenate(
-                [streams[k]["segment_ids"] for k in order], 0))["seq"]
+            x, rotary_coords=coords, is_valid=is_valid,
+            segment_ids=segment_ids)["seq"]
         fused = self.joint_proj(fused)
 
-        rows_per_stream = [streams[k]["x"].shape[0] for k in order]
-        outputs = dict(zip(order, jnp.split(fused, np.cumsum(rows_per_stream),
-                                            axis=0)))
+        R = sum(rows_per_ex)
+        fused = fused.reshape((B, R) + fused.shape[1:])
+        parts = jnp.split(fused, np.cumsum(rows_per_ex)[:-1], axis=1)
+        outputs = {k: p.reshape((-1,) + p.shape[2:])
+                   for k, p in zip(order, parts)}
         # language positions only for the two span-target streams
         outputs["text2audio"] = outputs["text2audio"][:, :data.lang_seq_len]
         outputs["audio2text"] = outputs["audio2text"][:, :data.lang_seq_len]
@@ -344,9 +373,17 @@ class MerlotReservePretrainer(MerlotReserve):
         drawn_states = summed_states.reshape(
             [B * spans_per_example, self.hidden_size])[drawn]
         drawn_sources = source_id.reshape([B * spans_per_example])[drawn]
-        span_targets = self.span_encoder(
-            x=towers["token_embs"]["text_spans"][drawn],
-            x_isvalid=flat["text_spans"][drawn] != PADDING)
+        span_x = towers["token_embs"]["text_spans"][drawn]
+        span_valid = flat["text_spans"][drawn] != PADDING
+        if not self.is_initializing():
+            # the global top-k gather erases row provenance; re-anchor the
+            # drawn rows to dp so the span tower's compute shards cleanly
+            # (the gather itself is the only resharding left — tiny)
+            from merlot_reserve_tpu.parallel.mesh import dp_anchor
+
+            drawn_states, span_x, span_valid = dp_anchor(
+                drawn_states, span_x, span_valid)
+        span_targets = self.span_encoder(x=span_x, x_isvalid=span_valid)
         return drawn_states, span_targets, drawn_sources
 
     # ------------------------------------------------------------------

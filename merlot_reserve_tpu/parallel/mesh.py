@@ -94,6 +94,30 @@ def current_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH.get()
 
 
+def dp_anchor(*arrays):
+    """Constrain each array's dim 0 to the active mesh's ``dp`` axis.
+
+    A one-line sharding ANCHOR for row-major batch tensors whose provenance
+    GSPMD cannot track (row concats across streams, data-dependent gathers
+    like the span top-k): without it the partitioner invents arbitrary
+    tilings that leak collectives INTO the transformer layer stacks (found
+    by the round-4 pod collective audit — full attention-score all-gathers
+    in a pure-dp program). No-op when no mesh is active, the mesh has no
+    dp axis, or dp does not divide dim 0."""
+    mesh = current_mesh()
+    if mesh is None or "dp" not in mesh.axis_names:
+        return arrays if len(arrays) > 1 else arrays[0]
+    dp = mesh.shape["dp"]
+    from jax.sharding import PartitionSpec as P
+
+    out = tuple(
+        jax.lax.with_sharding_constraint(a, P("dp"))
+        if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] % dp == 0)
+        else a
+        for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 @contextlib.contextmanager
 def activate_mesh(mesh: Mesh):
     """Make ``mesh`` the ambient mesh for tracing/execution.
