@@ -16,14 +16,25 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from merlot_reserve_tpu.parallel.sharding import batch_sharding, state_shardings
+from merlot_reserve_tpu.parallel.sharding import (batch_sharding,
+                                                  constrain_params_for_use,
+                                                  state_shardings)
 from merlot_reserve_tpu.utils.checkpoint import bf16_to_f32, f32_to_bf16
 
 
 def finetune_train_step(state, batch, loss_fn: Callable, scan_minibatch: bool = False,
                         use_bfloat16_grads: bool = True):
-    """One step. ``loss_fn(state, params, batch) -> (loss, metrics)``."""
+    """One step. ``loss_fn(state, params, batch) -> (loss, metrics)``.
+
+    Unlike the pretrain step, differentiation roots at the bf16 COPY (cast
+    + compute-sharding constraint outside value_and_grad): the
+    scan_minibatch path must accumulate microbatch grads in bf16 exactly as
+    the reference sums them (optimization.py:125-139), so the cast-up
+    happens once after accumulation. The stored masters are still
+    ZeRO-1-dp-sharded f32 (state_shardings); the constraint makes the
+    per-step gather move bf16."""
     params = f32_to_bf16(state.params) if use_bfloat16_grads else state.params
+    params = constrain_params_for_use(params)
 
     def _loss(p, b):
         return loss_fn(state, p, b)

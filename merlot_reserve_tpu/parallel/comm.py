@@ -136,10 +136,10 @@ def summarize_collectives(hlo_text: str) -> Dict[str, Any]:
     return summary
 
 
-def collective_summary(step_fn, *args, mesh: Optional[Any] = None,
-                       donate_argnums=()) -> Dict[str, Any]:
-    """Lower+compile a jitted function on its example args and summarize
-    its collectives.
+def collective_records(step_fn, *args, mesh: Optional[Any] = None,
+                       donate_argnums=()) -> List[Dict[str, Any]]:
+    """Lower+compile a jitted function on its example args and return the
+    raw per-op collective records (:func:`parse_hlo_collectives`).
 
     Accepts the wrapped step functions returned by the trainer factories
     (their ``__wrapped__`` is the underlying ``jax.jit``); pass ``mesh`` so
@@ -156,4 +156,19 @@ def collective_summary(step_fn, *args, mesh: Optional[Any] = None,
             compiled = fn.lower(*args).compile()
     else:
         compiled = fn.lower(*args).compile()
-    return summarize_collectives(compiled.as_text())
+    return parse_hlo_collectives(compiled.as_text())
+
+
+def collective_summary(step_fn, *args, mesh: Optional[Any] = None,
+                       donate_argnums=()) -> Dict[str, Any]:
+    """Per-kind counts/bytes aggregate of :func:`collective_records`."""
+    per_op: Dict[str, Dict[str, int]] = defaultdict(
+        lambda: {"count": 0, "bytes": 0})
+    for rec in collective_records(step_fn, *args, mesh=mesh,
+                                  donate_argnums=donate_argnums):
+        per_op[rec["op"]]["count"] += 1
+        per_op[rec["op"]]["bytes"] += rec["bytes"]
+    summary = dict(per_op)
+    summary["total_bytes"] = sum(v["bytes"] for v in per_op.values())
+    summary["total_count"] = sum(v["count"] for v in per_op.values())
+    return summary

@@ -151,11 +151,24 @@ def _pp_spec_for(path: str, leaf) -> "P":
     return P()
 
 
-def param_shardings(mesh: Mesh, params) -> Any:
+def param_shardings(mesh: Mesh, params, zero1_dp: bool = False) -> Any:
     """NamedShardings for the param tree: tp/pp rules apply; everything else
-    replicated (dp never shards params — that's ZeRO-3 territory)."""
+    replicated — unless ``zero1_dp``, where remaining leaves shard over dp
+    on the largest divisible dim.
+
+    ``zero1_dp`` is ZeRO-1 master-param sharding (used by train-state
+    storage, not inference): the f32 master copy lives 1/dp per chip and
+    the train step gathers a BF16 cast for compute
+    (:func:`constrain_params_for_use`). The round-4 pod collective audit
+    showed the alternative — replicated masters reassembled after the
+    sharded update — moves the full f32 param set over ICI every step
+    (~1.35 GiB at base on dp8); gathering the bf16 cast instead halves the
+    bytes and drops per-chip master storage dp-fold. Compute never sees dp
+    on weight dims (the constraint below removes it), so matmul shardings
+    are unchanged."""
     tp_size = mesh.shape.get("tp", 1)
     pp_size = mesh.shape.get("pp", 1)
+    dp_size = mesh.shape.get("dp", 1)
     paths, leaves, treedef = _tree_paths(params)
     specs = []
     for path, leaf in zip(paths, leaves):
@@ -164,8 +177,49 @@ def param_shardings(mesh: Mesh, params) -> Any:
             spec = _pp_spec_for(path, leaf)
         if spec == P() and tp_size > 1:
             spec = _tp_spec_for(path, leaf)
+        if spec == P() and zero1_dp and dp_size > 1:
+            spec = _zero1_spec_for(path, leaf, dp_size)
         specs.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def constrain_params_for_use(params, stored_zero1: bool = True) -> Any:
+    """Pin an in-step param copy to its COMPUTE sharding: tp/pp specs where
+    they apply, replicated otherwise (i.e. the ZeRO-1 dp sharding of the
+    stored masters is removed here, nowhere else).
+
+    Called inside the differentiated step function AFTER the bf16 cast.
+    Each leaf gets TWO constraints: first its STORAGE spec (the ZeRO-1 dp
+    sharding), pinning the convert_element_type to run shard-local — the
+    partitioner otherwise prefers gather-then-cast, which moves f32 (seen
+    in HLO metadata ``jvp()/convert_element_type``) — then its compute
+    spec, so the all-gather GSPMD inserts moves bf16, and its backward is
+    the matching bf16 reduce-scatter landing on each chip's own param
+    shard. No-op without an active mesh (single-device paths, CPU tests)."""
+    from merlot_reserve_tpu.parallel.mesh import current_mesh
+
+    mesh = current_mesh()
+    if mesh is None:
+        return params
+    tp_size = mesh.shape.get("tp", 1)
+    pp_size = mesh.shape.get("pp", 1)
+    dp_size = mesh.shape.get("dp", 1)
+    paths, leaves, treedef = _tree_paths(params)
+    out = []
+    for path, leaf in zip(paths, leaves):
+        spec = P()
+        if pp_size > 1:
+            spec = _pp_spec_for(path, leaf)
+        if spec == P() and tp_size > 1:
+            spec = _tp_spec_for(path, leaf)
+        if spec == P() and stored_zero1 and dp_size > 1:
+            stored = _zero1_spec_for(path, leaf, dp_size)
+            if stored != P():
+                leaf = jax.lax.with_sharding_constraint(
+                    leaf, NamedSharding(mesh, stored))
+        out.append(jax.lax.with_sharding_constraint(
+            leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def opt_state_shardings(mesh: Mesh, opt_state, zero1: bool = True) -> Any:
@@ -192,11 +246,13 @@ def opt_state_shardings(mesh: Mesh, opt_state, zero1: bool = True) -> Any:
 
 
 def state_shardings(mesh: Mesh, state, zero1: bool = True):
-    """Shardings for a full flax TrainState."""
+    """Shardings for a full flax TrainState. With ``zero1`` BOTH the Adam
+    moments and the f32 master params shard over dp (canonical
+    mixed-precision ZeRO-1; the step consumes a gathered bf16 cast)."""
     return state.replace(
         step=NamedSharding(mesh, P()),
         apply_fn=state.apply_fn,
-        params=param_shardings(mesh, state.params),
+        params=param_shardings(mesh, state.params, zero1_dp=zero1),
         tx=state.tx,
         opt_state=opt_state_shardings(mesh, state.opt_state, zero1=zero1),
     )

@@ -26,20 +26,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from merlot_reserve_tpu.models.pretrainer import loss_fn_given_preds
 from merlot_reserve_tpu.parallel.mesh import activate_mesh
-from merlot_reserve_tpu.parallel.sharding import batch_sharding, state_shardings
+from merlot_reserve_tpu.parallel.sharding import (batch_sharding,
+                                                  constrain_params_for_use,
+                                                  state_shardings)
 from merlot_reserve_tpu.utils.checkpoint import bf16_to_f32, f32_to_bf16
 
 
 def _grad_and_update(state, loss_fn, use_bfloat16_grads: bool):
-    """value_and_grad over (optionally bf16-cast) params -> nan_to_num ->
-    cast-up -> apply_gradients; the shared core of every step variant."""
-    params = state.params
-    if use_bfloat16_grads:
-        params = f32_to_bf16(params)
-    (_, loss_info), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    """value_and_grad -> nan_to_num -> apply_gradients; the shared core of
+    every step variant.
+
+    Differentiation is rooted at the STORED params (ZeRO-1-sharded f32
+    masters under a mesh, parallel/sharding.py), with the bf16 cast and the
+    compute-sharding constraint INSIDE the differentiated function: the
+    forward's param all-gather then moves bf16, its backward is the matching
+    bf16 reduce-scatter onto each chip's own shard, and the cast-up to f32
+    is the cast's backward — shard-local, AFTER the wire reduction, i.e.
+    the reference's bf16 grad-flow semantics (finetune/optimization.py
+    cast-up-after-pmean) with GSPMD placing the collectives."""
+
+    def _cast_then_loss(params):
+        if use_bfloat16_grads:
+            params = f32_to_bf16(params)
+        params = constrain_params_for_use(params)
+        return loss_fn(params)
+
+    (_, loss_info), grads = jax.value_and_grad(_cast_then_loss, has_aux=True)(
+        state.params)
     grads = jax.tree.map(lambda x: jnp.nan_to_num(x, copy=False), grads)
-    if use_bfloat16_grads:
-        grads = bf16_to_f32(grads)
     loss_info = bf16_to_f32(loss_info)
     return state.apply_gradients(grads=grads), loss_info
 

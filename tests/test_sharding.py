@@ -65,6 +65,59 @@ def test_zero1_moments_sharded(small_state, cpu_devices):
     assert n_sharded > 0
 
 
+def test_zero1_master_params_sharded(small_state, cpu_devices):
+    """ZeRO-1 state layout: f32 master params shard over dp alongside the
+    moments (the step consumes a gathered bf16 cast — see
+    constrain_params_for_use); inference placement stays replicated."""
+    from merlot_reserve_tpu.parallel.sharding import state_shardings
+
+    mesh = make_mesh(dp=8, tp=1, devices=cpu_devices[:8])
+    sh = state_shardings(mesh, small_state, zero1=True)
+    p_leaves = jax.tree_util.tree_leaves(small_state.params)
+    s_leaves = jax.tree_util.tree_leaves(sh.params)
+    n_sharded = 0
+    for leaf, s in zip(p_leaves, s_leaves):
+        if any(d % 8 == 0 and d >= 8 for d in leaf.shape):
+            assert "dp" in tuple(s.spec), (leaf.shape, s.spec)
+            n_sharded += 1
+    assert n_sharded > 0
+    # param/moment specs agree leaf-for-leaf -> the optimizer update is
+    # fully shard-local (no resharding between grads, moments and params)
+    mu_shardings = jax.tree_util.tree_leaves(
+        state_shardings(mesh, small_state, zero1=True).opt_state[0].mu)
+    for s, m in zip(s_leaves, mu_shardings):
+        assert s.spec == m.spec, (s.spec, m.spec)
+    # the default (inference) placement is untouched: replicated
+    repl = jax.tree_util.tree_leaves(param_shardings(mesh, small_state.params))
+    assert all("dp" not in tuple(s.spec) for s in repl)
+
+
+def test_constrain_params_for_use_removes_dp(small_state, cpu_devices):
+    """Inside an activated mesh the in-step copy is pinned to compute
+    sharding (replicated here, dp=8 tp=1); without a mesh it's a no-op."""
+    from merlot_reserve_tpu.parallel.mesh import activate_mesh
+    from merlot_reserve_tpu.parallel.sharding import (constrain_params_for_use,
+                                                      state_shardings)
+
+    mesh = make_mesh(dp=8, tp=1, devices=cpu_devices[:8])
+    sh = state_shardings(mesh, small_state, zero1=True)
+    placed = jax.device_put(small_state.params, sh.params)
+
+    def fn(p):
+        p = constrain_params_for_use(p)
+        return jax.tree_util.tree_leaves(p)[0]
+
+    with activate_mesh(mesh):
+        out = jax.jit(fn)(placed)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(jax.tree_util.tree_leaves(small_state.params)[0]))
+    # no-op path: no active mesh
+    same = constrain_params_for_use(small_state.params)
+    assert jax.tree_util.tree_leaves(same)[0] is \
+        jax.tree_util.tree_leaves(small_state.params)[0]
+
+
 def test_param_tp_rules(small_state, cpu_devices):
     mesh = make_mesh(dp=4, tp=2, devices=cpu_devices[:8])
     shardings = param_shardings(mesh, small_state.params)
