@@ -295,9 +295,11 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
     # otherwise a combined dp x sp mesh would all-gather the global batch
     # into every dp shard at the shard_map boundary and compute it
     # redundantly (the same trap parallel/pipeline.py documents).
+    from merlot_reserve_tpu.parallel.mesh import batch_axes, dp_size
+
     bax = None
-    if "dp" in mesh.shape and mesh.shape["dp"] > 1 and B % mesh.shape["dp"] == 0:
-        bax = "dp"
+    if "dp" in mesh.shape and dp_size(mesh) > 1 and B % dp_size(mesh) == 0:
+        bax = batch_axes(mesh)
     qkv_spec = P(bax, axis_name, None, None)
     lbl_spec = P(bax, axis_name)
 

@@ -136,6 +136,96 @@ def summarize_collectives(hlo_text: str) -> Dict[str, Any]:
     return summary
 
 
+_GROUPS_RE = re.compile(r"replica_groups=(\{(?:\{[^}]*\},?)*\}|\[[^\]]*\]<=\[[0-9,]+\])")
+_IOTA_RE = re.compile(r"\[([0-9,]+)\]<=\[([0-9,]+)\]")
+
+
+def _parse_replica_groups(line: str):
+    """Device groups of a collective, from either HLO form: explicit
+    ``{{0,1},{2,3}}`` lists or iota ``[2,4]<=[8]`` (reshape [8] to [2,4];
+    groups are the rows, i.e. along the last dim)."""
+    m = _GROUPS_RE.search(line)
+    if not m:
+        return None
+    token = m.group(1)
+    if re.search(re.escape(token) + r"T\(", line):
+        return None  # transposed iota form: don't guess the permutation
+    it = _IOTA_RE.match(token)
+    if it:
+        shape = [int(x) for x in it.group(1).split(",")]
+        total = int(np.prod([int(x) for x in it.group(2).split(",")]))
+        ids = np.arange(total).reshape(shape)
+        return [list(map(int, row)) for row in ids.reshape(-1, shape[-1])]
+    groups = []
+    for g in re.findall(r"\{([0-9,\s]*)\}", token[1:-1]):
+        if g.strip():
+            groups.append([int(x) for x in g.split(",")])
+    return groups or None
+
+
+_MEGASCALE_RE = re.compile(
+    r"%send[.\d]* = \((\([^()]*\)|[a-z0-9]+\[[^\]]*\]\S*)"
+    r".*megascale_transfer_type=\"([A-Z_0-9]+)\"")
+
+
+def parse_megascale_transfers(hlo_text: str) -> List[Dict[str, Any]]:
+    """Cross-slice (DCN) transfers in a multi-slice TPU module.
+
+    XLA compiles one module PER SLICE (``num_partitions`` = chips/slice):
+    intra-slice collectives are normal HLO ops, but cross-slice traffic is
+    MegaScale send/recv custom transfers
+    (``_xla_host_transfer_handler_name="xla_megascale_runtime"`` with a
+    ``megascale_transfer_type`` of ALL_REDUCE / ALL_GATHER / ALL_TO_ALL /
+    ONE_TO_ONE). An audit that only parses collectives silently reports a
+    multi-slice program as DCN-free (round-4 finding). One record per send;
+    bytes are the send buffer (element 0 of the result tuple)."""
+    records = []
+    for line in hlo_text.splitlines():
+        m = _MEGASCALE_RE.search(line)
+        if not m:
+            continue
+        sizes = _shape_bytes(m.group(1))
+        if not sizes:
+            continue
+        records.append({"op": f"megascale_{m.group(2).lower()}",
+                        "bytes": sizes[0], "shape": m.group(1),
+                        "line": line.strip()})
+    return records
+
+
+def split_ici_dcn(records: List[Dict[str, Any]], slice_size: int,
+                  hlo_text: Optional[str] = None) -> Dict[str, Dict[str, int]]:
+    """Split collective result bytes by whether any device group spans a
+    slice boundary (device i lives in slice i // slice_size — the AOT
+    topology and TPUv4+/v5 runtimes number devices slice-major).
+
+    Pass ``hlo_text`` for multi-slice modules: their cross-slice traffic
+    rides MegaScale send/recv transfers (:func:`parse_megascale_transfers`),
+    which land in the ``dcn`` bucket — the collectives in ``records`` are
+    then per-slice ops whose groups never span slices.
+
+    DCN links are ~50-100x thinner than ICI, so a layout is only
+    pod-viable when the DCN bucket holds little beyond the cross-slice grad
+    reduction (the scaling-book recipe; see docs/PARALLELISM.md)."""
+    out = {"ici": {"count": 0, "bytes": 0}, "dcn": {"count": 0, "bytes": 0},
+           "unknown": {"count": 0, "bytes": 0}}
+    for rec in records:
+        groups = _parse_replica_groups(rec.get("line", ""))
+        if groups is None:
+            bucket = "unknown"
+        else:
+            crosses = any(len({d // slice_size for d in g}) > 1
+                          for g in groups)
+            bucket = "dcn" if crosses else "ici"
+        out[bucket]["count"] += 1
+        out[bucket]["bytes"] += rec["bytes"]
+    if hlo_text is not None:
+        for rec in parse_megascale_transfers(hlo_text):
+            out["dcn"]["count"] += 1
+            out["dcn"]["bytes"] += rec["bytes"]
+    return out
+
+
 def collective_records(step_fn, *args, mesh: Optional[Any] = None,
                        donate_argnums=()) -> List[Dict[str, Any]]:
     """Lower+compile a jitted function on its example args and return the

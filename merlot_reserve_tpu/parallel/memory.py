@@ -74,12 +74,21 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
     pp = max(pp, 1)
     P_eff = P - layer(m.joint_num_layers) * (1 - 1.0 / pp)
 
-    # persistent train state: f32 params + bf16 Adam mu/nu (cube-root nu is
-    # still 2 bytes). Moments shard over dp under ZeRO-1.
-    state = 4 * P_eff + (2 * P_eff + 2 * P_eff) / max(zero1_dp, 1)
+    # persistent train state: f32 master params + bf16 Adam mu/nu (cube-root
+    # nu is still 2 bytes). Under ZeRO-1 ALL of it shards over dp (round 4:
+    # masters shard alongside the moments; the step gathers a bf16 cast —
+    # parallel/sharding.py). At zero1_dp=1 this reduces to the original
+    # replicated terms, so the six single-chip calibration points are
+    # unchanged. Pod cross-check: dp8 base batch-1 scan predicts 6.7 GiB vs
+    # XLA's memory analysis 9.0 GiB (pod_readiness, round 4) — the ~1.3x
+    # pod underprediction documented in docs/PARALLELISM.md still applies;
+    # use the AOT compile to confirm boundary verdicts.
+    state = (4 * P_eff + 2 * P_eff + 2 * P_eff) / max(zero1_dp, 1)
 
-    # step transients: bf16 param cast, bf16 grads, f32 grad upcast
-    step_transients = 2 * P_eff + 2 * P_eff + 4 * P_eff
+    # step transients: bf16 param cast (the gathered compute copy is full-
+    # size regardless of dp), bf16 grads, f32 grad upcast (reduce-scattered
+    # onto the shard under ZeRO-1)
+    step_transients = 2 * P_eff + 2 * P_eff + 4 * P_eff / max(zero1_dp, 1)
 
     # activations saved for backward (bf16). Per transformer layer the
     # backward needs ~6 seq-major tensors (x, ln(x), qkv, attn out, mlp

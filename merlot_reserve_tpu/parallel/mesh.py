@@ -40,14 +40,24 @@ from jax.sharding import Mesh
 def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
               devices: Optional[Sequence] = None,
               dcn_dp: Optional[int] = None) -> Mesh:
-    """Build a (dp, sp, pp, tp) mesh. dp=-1 means all remaining devices.
+    """Build a (dcn, dp, sp, pp, tp) mesh. dp=-1 means all remaining
+    devices; ``dp`` counts the TOTAL data-parallel ways (so recipes keep
+    reading "dp=16, dcn_dp=2": 2 slices x 8-way ICI dp).
 
-    Multi-slice: pass ``dcn_dp`` = number of slices to split the dp axis
-    across the DCN boundary — device order then comes from
-    ``mesh_utils.create_hybrid_device_mesh`` so that only the outermost dp
-    factor crosses slices (gradient psums tolerate DCN latency; sp/pp/tp
-    collectives stay on intra-slice ICI). The mesh keeps the same 4 axis
-    names, so every sharding rule works unchanged.
+    Multi-slice: ``dcn_dp`` = number of slices. The slice dimension is its
+    OWN mesh axis (``dcn``, size 1 on single-slice meshes — specs
+    mentioning it are then no-ops, like every other size-1 axis): batches
+    and gradient reductions span ``("dcn", "dp")``, while ZeRO-1
+    master/moment shards live on ``dp`` alone, keeping their per-step
+    all-gathers on intra-slice ICI. Round 4 found the alternative (one
+    fused dp axis) ships the full bf16 param set over DCN every step —
+    the MegaScale transfer audit (parallel/comm.py split_ici_dcn, which
+    parses per-slice modules' send/recv pairs) showed 160 cross-slice
+    ALL_GATHER transfers per step at base scale.
+
+    Device order on real multi-slice topologies comes from
+    ``mesh_utils.create_hybrid_device_mesh`` so only the dcn axis crosses
+    DCN (sp/pp/tp collectives stay on intra-slice ICI).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -56,17 +66,18 @@ def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
         assert n % rest == 0, f"{n} devices not divisible by sp*pp*tp={rest}"
         dp = n // rest
     assert dp * rest == n, f"dp({dp})*sp({sp})*pp({pp})*tp({tp}) != {n} devices"
+    axis_names = ("dcn", "dp", "sp", "pp", "tp")
 
     if dcn_dp is not None and dcn_dp > 1:
         from jax.experimental import mesh_utils
 
         assert dp % dcn_dp == 0, f"dp={dp} not divisible by {dcn_dp} slices"
         if any(getattr(d, "slice_index", None) is not None for d in devices):
-            # real multi-slice topology: order devices so only the
-            # outermost dp factor crosses DCN. Errors here (e.g. dcn_dp
-            # not matching the actual slice count) must PROPAGATE — a
-            # silent contiguous fallback would route sp/pp/tp collectives
-            # over DCN while looking like a working config.
+            # real multi-slice topology: order devices so that only the
+            # dcn axis crosses DCN. Errors here (e.g. dcn_dp not matching
+            # the actual slice count) must PROPAGATE — a silent contiguous
+            # fallback would route sp/pp/tp collectives over DCN while
+            # looking like a working config.
             hybrid = mesh_utils.create_hybrid_device_mesh(
                 mesh_shape=(dp // dcn_dp, sp, pp, tp),
                 dcn_mesh_shape=(dcn_dp, 1, 1, 1),
@@ -74,13 +85,25 @@ def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
         else:
             # virtual/CPU devices carry no slice_index attribute — there is
             # no DCN topology to order against, so the plain contiguous
-            # reshape (outermost dp factor = "slices") is equivalent
+            # reshape (dcn = outermost blocks) is equivalent
             hybrid = np.asarray(devices)
-        return Mesh(hybrid.reshape(dp, sp, pp, tp),
-                    axis_names=("dp", "sp", "pp", "tp"))
+        return Mesh(hybrid.reshape(dcn_dp, dp // dcn_dp, sp, pp, tp),
+                    axis_names=axis_names)
 
-    dev_array = np.asarray(devices).reshape(dp, sp, pp, tp)
-    return Mesh(dev_array, axis_names=("dp", "sp", "pp", "tp"))
+    dev_array = np.asarray(devices).reshape(1, dp, sp, pp, tp)
+    return Mesh(dev_array, axis_names=axis_names)
+
+
+def dp_size(mesh: Mesh) -> int:
+    """Total data-parallel ways: dcn (slices) x dp (intra-slice)."""
+    return mesh.shape.get("dcn", 1) * mesh.shape.get("dp", 1)
+
+
+def batch_axes(mesh: Mesh):
+    """The axis names batch dim 0 shards over, as a PartitionSpec entry:
+    ("dcn", "dp") when both exist (sizes of 1 are no-ops), else "dp"."""
+    names = [a for a in ("dcn", "dp") if a in mesh.axis_names]
+    return tuple(names) if len(names) > 1 else (names[0] if names else None)
 
 
 _ACTIVE_MESH: contextvars.ContextVar[Optional[Mesh]] = contextvars.ContextVar(
@@ -107,11 +130,12 @@ def dp_anchor(*arrays):
     mesh = current_mesh()
     if mesh is None or "dp" not in mesh.axis_names:
         return arrays if len(arrays) > 1 else arrays[0]
-    dp = mesh.shape["dp"]
+    dp = dp_size(mesh)
+    bax = batch_axes(mesh)
     from jax.sharding import PartitionSpec as P
 
     out = tuple(
-        jax.lax.with_sharding_constraint(a, P("dp"))
+        jax.lax.with_sharding_constraint(a, P(bax))
         if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] % dp == 0)
         else a
         for a in arrays)

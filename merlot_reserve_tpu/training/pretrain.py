@@ -125,7 +125,13 @@ def run_pretraining(
     state = construct_train_state(cfg.optimizer, model, params)
 
     if output_dir and os.path.isdir(output_dir):
-        latest = ckpt_lib.load_checkpoint(output_dir, state=state)
+        if jax.process_count() > 1:
+            try:  # orbax layout (the multi-process writer, below)
+                latest = ckpt_lib.load_checkpoint_orbax(output_dir, state)
+            except Exception:
+                latest = None
+        else:
+            latest = ckpt_lib.load_checkpoint(output_dir, state=state)
         if latest is not None:
             state = latest
 
@@ -139,7 +145,18 @@ def run_pretraining(
         step_fn, state = make_jit_train_step(mesh, state, zero1=zero1)
 
     metrics_q = MetricsQueue(delay=log_every)
-    async_ckpt = ckpt_lib.AsyncCheckpointer()
+    # multi-process: the state is ZeRO-sharded ACROSS processes, so the
+    # msgpack host-0-gather writer cannot serialize it — orbax writes each
+    # process's shards in parallel instead (and restores them in place)
+    use_orbax = jax.process_count() > 1
+    async_ckpt = None if use_orbax else ckpt_lib.AsyncCheckpointer()
+
+    def _save_state(st):
+        if use_orbax:
+            ckpt_lib.save_checkpoint_orbax(st, output_dir)
+        else:
+            async_ckpt.save(st, output_dir)
+
     start_step = int(jax.device_get(state.step))
     t_block = time.time()
 
@@ -180,7 +197,7 @@ def run_pretraining(
                 log_fn(*ready)
 
         if output_dir and (step + 1) % save_every == 0:
-            async_ckpt.save(state, output_dir)
+            _save_state(state)
             _save_loader_state()
             # contrastive temperature health print (train.py:134-139)
             scales = np.asarray(jax.device_get(
@@ -212,9 +229,13 @@ def run_pretraining(
             if log_fn is not None:
                 log_fn(*ready)
     tracker.finish()
-    async_ckpt.wait()
+    if async_ckpt is not None:
+        async_ckpt.wait()
     if output_dir:
-        ckpt_lib.save_checkpoint(state, output_dir)
+        if use_orbax:
+            ckpt_lib.save_checkpoint_orbax(state, output_dir)
+        else:
+            ckpt_lib.save_checkpoint(state, output_dir)
         _save_loader_state()
     return state
 

@@ -60,6 +60,19 @@ def save_checkpoint(state, path: str, keep: Optional[int] = None, overwrite: boo
     if keep is None:
         keep = 100_000_000
 
+    if jax.process_count() > 1:
+        # ZeRO-1 shards masters/moments across processes — device_get here
+        # would throw on non-addressable shards (and gathering a full train
+        # state to host 0 is exactly what pod checkpointing must avoid).
+        for leaf in jax.tree_util.tree_leaves(state):
+            if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+                raise ValueError(
+                    "save_checkpoint (msgpack, host-0 gather) cannot write a "
+                    "cross-process-sharded train state; use "
+                    "save_checkpoint_orbax / orbax_manager (per-shard "
+                    "parallel writes) — run_pretraining selects it "
+                    "automatically on multi-process meshes.")
+
     if jax.process_index() != 0:
         return None
 

@@ -53,11 +53,12 @@ def abstract_train_state(cfg, batch):
     return jax.eval_shape(make, batch)
 
 
-def compile_layout(name, cfg, mesh, batch_np):
+def compile_layout(name, cfg, mesh, batch_np, slice_size=None):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from merlot_reserve_tpu.parallel.comm import (parse_hlo_collectives,
+                                                  split_ici_dcn,
                                                   summarize_collectives)
     from merlot_reserve_tpu.parallel.mesh import activate_mesh
     from merlot_reserve_tpu.parallel.sharding import (batch_sharding,
@@ -84,13 +85,19 @@ def compile_layout(name, cfg, mesh, batch_np):
     ma = compiled.memory_analysis()
     hlo = compiled.as_text()
     coll = summarize_collectives(hlo)
-    top = sorted(parse_hlo_collectives(hlo), key=lambda r: -r["bytes"])[:8]
+    recs = parse_hlo_collectives(hlo)
+    top = sorted(recs, key=lambda r: -r["bytes"])[:8]
+    dcn_split = (split_ici_dcn(recs, slice_size, hlo_text=hlo)
+                 if slice_size else None)
     # per-chip high water: live args + temps + (outputs - donated aliases)
     hbm = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
            + ma.output_size_in_bytes - ma.alias_size_in_bytes)
     return {
         "layout": name,
         "compile": "clean",
+        **({"ici_dcn_split": {
+            k: {"count": v["count"], "mib": round(v["bytes"] / 2**20, 1)}
+            for k, v in dcn_split.items()}} if dcn_split else {}),
         "argument_gib": round(ma.argument_size_in_bytes / 2**30, 3),
         "temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
         "output_gib": round(ma.output_size_in_bytes / 2**30, 3),
@@ -136,11 +143,13 @@ def main():
                                           topology_name="v5e:2x4",
                                           num_slices=2)
 
-    def run(name, cfg, mesh, n_chips, sp=1):
+    def run(name, cfg, mesh, n_chips, sp=1, slice_size=None, zero1_dp=None):
         batch = make_dummy_batch(cfg, batch_size=bpc * n_chips, seed=0,
                                  num_text_spans=cfg.data.num_text_spans_to_include)
-        rec = compile_layout(name, cfg, mesh, batch)
-        plan = estimate_train_hbm(cfg, bpc, zero1_dp=n_chips, sp=sp)
+        rec = compile_layout(name, cfg, mesh, batch, slice_size=slice_size)
+        # ZeRO shards live on the ICI-local dp axis only (mesh.py round 4)
+        plan = estimate_train_hbm(cfg, bpc, zero1_dp=zero1_dp or n_chips,
+                                  sp=sp)
         rec["planner_total_gib"] = round(plan["total"] / 2**30, 3)
         rec["scan_layers"] = scan
         rec["per_chip_batch"] = bpc
@@ -160,7 +169,8 @@ def main():
     if "dcn16" in wanted:
         cfg = mr.load_config("base", scan_layers=scan)
         mesh = make_mesh(dp=16, devices=list(topo16.devices), dcn_dp=2)
-        run("dp16 dcn_dp=2 (2x v5e:2x4)", cfg, mesh, 16)
+        run("dp16 dcn_dp=2 (2x v5e:2x4)", cfg, mesh, 16, slice_size=8,
+            zero1_dp=8)
 
 
 if __name__ == "__main__":

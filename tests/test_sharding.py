@@ -17,14 +17,14 @@ def test_make_mesh_dcn_arg(cpu_devices):
 
     # dcn_dp=1 (or None) is the plain single-slice path
     m = make_mesh(dp=4, tp=2, devices=cpu_devices[:8], dcn_dp=1)
-    assert dict(m.shape) == {"dp": 4, "sp": 1, "pp": 1, "tp": 2}
+    assert dict(m.shape) == {"dcn": 1, "dp": 4, "sp": 1, "pp": 1, "tp": 2}
     # dp must split evenly across slices
     with _pytest.raises(AssertionError):
         make_mesh(dp=4, tp=2, devices=cpu_devices[:8], dcn_dp=3)
     # dcn_dp>1 builds a real mesh on virtual devices too (no slice_index
     # attribute -> contiguous-reshape fallback) and stays executable
     m2 = make_mesh(dp=4, tp=2, devices=cpu_devices[:8], dcn_dp=2)
-    assert dict(m2.shape) == {"dp": 4, "sp": 1, "pp": 1, "tp": 2}
+    assert dict(m2.shape) == {"dcn": 2, "dp": 2, "sp": 1, "pp": 1, "tp": 2}
     x = jax.device_put(np.arange(8, dtype=np.float32),
                        jax.sharding.NamedSharding(m2, P("dp")))
     assert float(jnp.sum(x)) == 28.0
