@@ -71,6 +71,44 @@ def test_dp2_tp2_matches_single_device(setup, cpu_devices):
         assert abs(float(m1[k]) - float(mtp[k])) < 1e-4, (k, m1[k], mtp[k])
 
 
+def test_dp2_tp2_sp2_matches_single_device(setup, cpu_devices):
+    """tp x sp composition (support-matrix cell): Megatron weight sharding
+    and GSPMD sequence sharding of the joint activations in one layout."""
+    import merlot_reserve_tpu as mr
+
+    cfg, model, params, batch = setup
+    m1, _ = _one_step(cfg, model, params, batch,
+                      make_mesh(dp=1, tp=1, devices=cpu_devices[:1]), False)
+    cfg_sp = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, seq_shard_axis="sp"))
+    model_sp = type(model).from_config(cfg_sp)
+    msp, _ = _one_step(cfg_sp, model_sp, params, batch,
+                       make_mesh(dp=2, tp=2, sp=2, devices=cpu_devices[:8]),
+                       True)
+    for k in m1:
+        assert abs(float(m1[k]) - float(msp[k])) < 1e-4, (k, m1[k], msp[k])
+
+
+def test_dp2_tp2_remat_matches_single_device(setup, cpu_devices):
+    """tp x remat composition (support-matrix cell): gradient checkpointing
+    under tensor-parallel weight sharding."""
+    cfg, model, params, batch = setup
+    m1, p1 = _one_step(cfg, model, params, batch,
+                       make_mesh(dp=1, tp=1, devices=cpu_devices[:1]), False)
+    cfg_r = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, gradient_checkpoint=True))
+    model_r = type(model).from_config(cfg_r)
+    mr_, pr = _one_step(cfg_r, model_r, params, batch,
+                        make_mesh(dp=2, tp=2, devices=cpu_devices[:4]), True)
+    for k in m1:
+        assert abs(float(m1[k]) - float(mr_[k])) < 1e-4, (k, m1[k], mr_[k])
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flatr = jax.tree_util.tree_leaves(pr)
+    worst = max(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)))
+                for a, b in zip(flat1, flatr))
+    assert worst < 5e-3, worst
+
+
 import pytest  # noqa: E402
 
 # heavy tier: full-model / multi-device / subprocess tests
