@@ -304,6 +304,7 @@ class TransformerEncoder(nn.Module):
                 stacked, x, sinusoids=sinusoids, is_valid=is_valid,
                 segment_ids=segment_ids, attention_bias=attention_bias,
                 layer=layer_template, mesh=mesh, axis=self.pipeline_axis,
+                sp_axis=self.seq_shard_axis,
                 num_microbatches=self.pipeline_microbatches,
                 remat=self.remat,
                 remat_policy=resolve_remat_policy(self.remat_policy))

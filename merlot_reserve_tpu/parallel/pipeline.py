@@ -11,6 +11,18 @@ processes microbatch ``t - s`` (predicated off during the fill/drain
 bubble) and hands its activations to stage ``s+1`` with ``lax.ppermute``,
 which XLA overlaps with the next tick's compute on ICI.
 
+The shard_map is PARTIAL-MANUAL (round 4): only the ``pp`` axis is manual —
+the ppermute ring and the stage predication need per-stage control — while
+every other mesh axis (dcn, dp, sp, tp) stays GSPMD-managed *inside* the
+region. Activations therefore keep their data-parallel batch sharding AND
+their ``sp`` sequence sharding through the pipeline (a bare-PartitionSpec
+anchor per tick re-asserts them after the provenance-erasing microbatch
+dynamic-slice), and stage-local layer weights may carry ``tp`` shardings on
+their non-stacked dims. Before round 4 the region was fully manual with a
+hand-threaded dp dim: sp could not be propagated at all (joint activations
+replicated over sp inside pp — the r3 support-matrix hole) and tp-within-a-
+stage needed per-leaf manual specs.
+
 Everything is ``lax.scan``/``ppermute``, so the pipeline is exactly
 reverse-differentiable: the backward pass is the same pipeline run in
 reverse (ppermute transposes to the inverted permutation), and parameter
@@ -35,12 +47,7 @@ Efficiency notes (correctness first, tiny-shape dryrun second):
     that bound here: only per-tick stage-boundary activations are saved and
     layers recompute in backward. Workloads with per-example losses
     (finetune heads) use lax.scan gradient accumulation instead
-    (finetune/train.py), where the same bound holds trivially;
-  * activations shard over dp inside the pipeline region (each dp row
-    pipelines its own batch slice — compute scales with dp); sp sharding is
-    NOT propagated inside the region, and layer weights are replicated over
-    tp (in_specs shard the layer dim only) — combining pp with tp *within a
-    stage* would need tp specs on the per-leaf weight dims as well.
+    (finetune/train.py), where the same bound holds trivially.
 """
 
 from __future__ import annotations
@@ -55,13 +62,22 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _shard_map(fn, mesh, in_specs, out_specs):
-    if hasattr(jax, "shard_map"):  # JAX >= 0.6 API
-        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=False)
+def _partial_shard_map(fn, mesh, in_specs, out_specs, manual_axis):
+    """shard_map with ONLY ``manual_axis`` manual; every other mesh axis
+    stays auto (GSPMD-sharded inside the region). JAX >= 0.9 spells this
+    ``axis_names=``; older versions spell the complement ``auto=``."""
+    if hasattr(jax, "shard_map"):
+        try:
+            return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs,
+                                 axis_names=frozenset({manual_axis}),
+                                 check_vma=False)
+        except TypeError:  # pre-axis_names signature
+            pass
     from jax.experimental.shard_map import shard_map
 
-    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     auto=frozenset(mesh.axis_names) - {manual_axis})
 
 
 def _pvary(x, axis_name):
@@ -77,7 +93,7 @@ def _pvary(x, axis_name):
 def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
                          segment_ids=None, attention_bias=None, *,
                          layer, mesh: Mesh, axis: str = "pp",
-                         dp_axis: str = "dp",
+                         sp_axis: Optional[str] = None,
                          num_microbatches: int = 2, remat: bool = False,
                          remat_policy=None):
     """Apply a stacked transformer layer pytree as a pipeline over ``axis``.
@@ -85,21 +101,22 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
     :param stacked_params: pytree with every leaf ``[num_layers, ...]`` (the
         ``scan_layers`` param layout under 'layers', models/layers.py).
     :param x: ``[B, L, H]`` global activations; B must divide by
-        ``num_microbatches`` (and by ``num_microbatches * dp``).
+        ``num_microbatches``.
     :param layer: a ``TransformerLayer``-like flax module template with
         ``scan_format=True`` (its ``apply({'params': p}, x, sin, valid, seg,
         bias)`` returns ``(x, None)``).
     :param mesh: mesh containing ``axis``; ``num_layers`` must divide by its
-        size.
-    :param dp_axis: data-parallel mesh axis — each microbatch's batch dim
-        shards over it, so every dp row pipelines only its OWN batch slice
-        (without this, dp rows would all-gather the global batch at the
-        shard_map boundary and redundantly compute all of it — correct but
-        zero compute scaling). sp is NOT propagated inside the pipeline
-        region; activations there shard over dp only.
+        size. Only ``axis`` is manual in the region — batch sharding (the
+        mesh's data-parallel axes) and ``sp_axis`` sequence sharding are
+        GSPMD-propagated through the stage compute, anchored per tick.
+    :param sp_axis: sequence-parallel mesh axis the caller shards the
+        activations' L dim over (``TransformerEncoder.seq_shard_axis``);
+        None leaves the seq dim unconstrained.
     :return: ``[B, L, H]`` outputs, numerically identical to applying the
         layers sequentially.
     """
+    from merlot_reserve_tpu.parallel.mesh import batch_axes
+
     S = mesh.shape[axis]
     B, L, H = x.shape
     M = num_microbatches
@@ -107,9 +124,13 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
     num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     assert num_layers % S == 0, f"{num_layers} layers over {S} stages"
 
-    dp = dp_axis if dp_axis in mesh.shape else None
-    if dp is not None and (B // M) % mesh.shape[dp] != 0:
-        dp = None  # microbatch not divisible by dp: fall back to replicated
+    bax = batch_axes(mesh)
+    sp = sp_axis if (sp_axis and sp_axis in mesh.shape) else None
+    # bare-PartitionSpec anchor for a [B/M, L, H] microbatch inside the
+    # region: batch over the dp axes, seq over sp. Applied after each tick's
+    # dynamic-slice/select (provenance-erasing ops — without the anchor
+    # GSPMD replicates the microbatch over dp and sp, the pre-r4 behavior).
+    act_anchor = P(bax, sp, None)
 
     def mb(t):
         return None if t is None else t.reshape((M, B // M) + t.shape[1:])
@@ -119,17 +140,11 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
     x_mb = mb(x)
 
     param_specs = jax.tree.map(lambda _: P(axis), stacked_params)
-    act_spec = P(None, dp)  # [M, B/M, ...]: batch dim over dp
-    arg_specs = tuple(None if a is None else act_spec for a in mb_args)
     present = [a for a in mb_args if a is not None]
-    in_specs = (param_specs, act_spec) + tuple(
-        s for s in arg_specs if s is not None)
-    # Known inefficiency when combining sp with pp: activations arrive
-    # seq-sharded and the shard_map boundary's conversion to the pipeline's
-    # dp-sharded layout makes GSPMD replicate-then-partition ("involuntary
-    # full rematerialization" warning; XLA bug b/433785288, to be fixed by
-    # the Shardy partitioner). Correctness is unaffected; sp+pp layouts pay
-    # one extra activation copy per step until then.
+    # in/out specs name ONLY the manual axis: activations are pp-replicated
+    # at the boundary while their dp/sp shardings flow through as auto axes
+    # (no resharding at entry — the caller's batch arrives dp-sharded).
+    in_specs = (param_specs, P()) + tuple(P() for _ in present)
 
     def stage_fn(params_local, x_mb, *present_args):
         # re-inflate optional args to positional slots
@@ -165,7 +180,9 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
                     a, mc, 0, keepdims=False)
 
             inp = jnp.where(stage == 0, idx(x_mb), state)
+            inp = lax.with_sharding_constraint(inp, act_anchor)
             y = run_local(inp, tuple(idx(a) for a in args_mb))
+            y = lax.with_sharding_constraint(y, act_anchor)
 
             write = (m >= 0) & (m < M) & (stage == S - 1)
             upd = lax.dynamic_update_index_in_dim(
@@ -183,6 +200,6 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
             jnp.where(stage == S - 1, outputs, jnp.zeros_like(outputs)), axis)
         return outputs
 
-    fn = _shard_map(stage_fn, mesh, in_specs, act_spec)
+    fn = _partial_shard_map(stage_fn, mesh, in_specs, P(), axis)
     out = fn(stacked_params, x_mb, *present)
     return out.reshape(B, L, H)
