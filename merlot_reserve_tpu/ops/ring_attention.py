@@ -300,7 +300,18 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
     bax = None
     if "dp" in mesh.shape and dp_size(mesh) > 1 and B % dp_size(mesh) == 0:
         bax = batch_axes(mesh)
-    qkv_spec = P(bax, axis_name, None, None)
+    # Megatron composition: with a tp axis in the mesh, q/k/v arrive head-
+    # sharded over tp (the qkv kernel is P(None, "tp", None) — parallel/
+    # sharding.py), so the head dim must be named in the specs too: each tp
+    # shard rings ONLY its own heads (heads are independent in attention)
+    # and the output stays head-sharded for the row-parallel attn_proj.
+    # Leaving it unnamed would all-gather the heads at the boundary and
+    # compute every head redundantly per tp shard.
+    hax = None
+    tp_n = mesh.shape.get("tp", 1)
+    if tp_n > 1 and H % tp_n == 0 and axis_name != "tp":
+        hax = "tp"
+    qkv_spec = P(bax, axis_name, hax, None)
     lbl_spec = P(bax, axis_name)
 
     if impl == "rdma":
@@ -310,11 +321,15 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
         body = functools.partial(ring_flash_attention, axis_name=axis_name,
                                  interpret=interpret)
     elif impl.startswith("ulysses"):
-        H_heads = q.shape[2]
-        assert H_heads % n == 0, (
-            f"ulysses attention shards heads over '{axis_name}': num_heads="
-            f"{H_heads} not divisible by {axis_name}={n} — use impl='lax' "
-            "(ring) for non-dividing head counts")
+        # with a tp head sharding the body sees H/tp local heads, and THOSE
+        # must split over the ulysses axis
+        local_heads = H // tp_n if hax else H
+        assert local_heads % n == 0, (
+            f"ulysses attention shards heads over '{axis_name}': "
+            f"{local_heads} local heads (num_heads={H}"
+            + (f" / tp={tp_n}" if hax else "")
+            + f") not divisible by {axis_name}={n} — use impl='lax' (ring) "
+            "for non-dividing head counts")
         body = functools.partial(
             ulysses_attention, axis_name=axis_name,
             inner="flash" if impl.endswith("flash") else "xla",

@@ -36,13 +36,23 @@ def param_count(cfg) -> int:
 
 def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
                        zero1_dp: int = 1, pp: int = 1,
-                       flash_joint: bool = False, sp: int = 1) -> Dict[str, float]:
+                       flash_joint: bool = False, sp: int = 1,
+                       tp: int = 1) -> Dict[str, float]:
     """Per-chip HBM estimate (bytes) for one pretraining step.
 
     :param zero1_dp: dp size the Adam moments are ZeRO-1-sharded over.
     :param pp: pipeline stages — joint-layer params/moments and joint
         activations shard 1/pp per stage, plus the pipeline's microbatch
         stream buffers (parallel/pipeline.py).
+    :param tp: Megatron tensor-parallel size — every tower's matmul
+        kernels (qkv/attn_proj/mlp pairs, 12h^2/layer) and the vocab
+        embedding shard 1/tp (parallel/sharding.py::_tp_spec_for);
+        biases/LN stay replicated. Composes with pp on the joint stack
+        (stacked leaves carry P("pp", ...tp...)). Activation terms are
+        NOT scaled: residual-stream activations stay tp-replicated under
+        Megatron sharding (only the intra-pair intermediates shard, and
+        those are transient). Coarse — no tp calibration point exists on
+        this 1-chip box; treat tp > 1 verdicts as ordering.
     :param sp: sequence-parallel shard count for the JOINT tower
         (seq_shard_axis GSPMD sharding, ring, or ulysses attention): the
         saved seq-major residuals and the attention score rows both scale
@@ -70,9 +80,18 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
     def layer(n):
         return n * (4 * h * h + 8 * h * h + 8 * h)
 
-    # pipeline shards the joint stack's params/moments over stages
+    # pipeline shards the joint stack's params/moments over stages; tp
+    # shards each layer's matmul kernels (12h^2 of the 12h^2+8h) and the
+    # vocab embedding across every tower (the two compose on the joint
+    # stack: stacked leaves are P("pp", ...tp...), parallel/sharding.py)
     pp = max(pp, 1)
-    P_eff = P - layer(m.joint_num_layers) * (1 - 1.0 / pp)
+    tp = max(tp, 1)
+    matmuls = 12 * h * h  # qkv 3h^2 + attn_proj h^2 + mlp up/down 8h^2
+    n_other = m.vit_num_layers + m.audio_num_layers + m.span_num_layers
+    P_eff = (P - layer(m.joint_num_layers) * (1 - 1.0 / pp)
+             - m.joint_num_layers / pp * matmuls * (1 - 1.0 / tp)
+             - n_other * matmuls * (1 - 1.0 / tp)
+             - m.vocab_size * h * (1 - 1.0 / tp))
 
     # persistent train state: f32 master params + bf16 Adam mu/nu (cube-root
     # nu is still 2 bytes). Under ZeRO-1 ALL of it shards over dp (round 4:

@@ -91,15 +91,20 @@ def _global_from_local_device_array(v, sharding):
                                                     shards)
 
 
-def _tp_spec_for(path: str, leaf) -> "P":
+def _tp_spec_for(path: str, leaf, ndim: int = None) -> "P":
     """Tensor-parallel partition spec for a param leaf, by name pattern.
 
     Megatron-style pairing: the MLP up-projection and the QKV head dim shard
     over tp (column parallel); the MLP down-projection and attention output
     projection shard the contracting dim (row parallel), so each pair needs
     only one psum.
+
+    ``ndim`` overrides the leaf's rank — pipeline-stacked leaves
+    ([num_layers, ...]) pass ``leaf.ndim - 1`` so the per-layer patterns
+    still match (:func:`_pp_spec_for` then prepends the "pp" entry).
     """
-    ndim = getattr(leaf, "ndim", 0)
+    if ndim is None:
+        ndim = getattr(leaf, "ndim", 0)
     if ndim < 2:
         return P()
     if re.search(r"intermediate/kernel$", path):
@@ -145,12 +150,22 @@ def _key_str(k) -> str:
     return str(k)
 
 
-def _pp_spec_for(path: str, leaf) -> "P":
+def _pp_spec_for(path: str, leaf, tp: bool = False) -> "P":
     """Pipeline parallelism: scan-stacked joint layer params ([num_layers,
     ...] leaves under joint_transformer/layers) live sharded over pp — each
     stage holds only its own layers (parallel/pipeline.py consumes them with
-    matching in_specs, so no resharding happens at the shard_map boundary)."""
+    matching in_specs, so no resharding happens at the shard_map boundary).
+
+    With ``tp`` the per-layer tensor-parallel spec composes onto the
+    non-stacked dims (P("pp", ...Megatron dims...)): the pipeline's
+    shard_map is partial-manual over pp only, so the tp shardings flow into
+    the region as auto axes and each stage's layer matmuls run
+    tensor-parallel."""
     if re.search(r"joint_transformer/layers/", path) and getattr(leaf, "ndim", 0) >= 1:
+        if tp:
+            inner = _tp_spec_for(path, leaf, ndim=leaf.ndim - 1)
+            if any(e is not None for e in inner):
+                return P("pp", *inner)
         return P("pp")
     return P()
 
@@ -178,7 +193,7 @@ def param_shardings(mesh: Mesh, params, zero1_dp: bool = False) -> Any:
     for path, leaf in zip(paths, leaves):
         spec = P()
         if pp_size > 1:
-            spec = _pp_spec_for(path, leaf)
+            spec = _pp_spec_for(path, leaf, tp=tp_size > 1)
         if spec == P() and tp_size > 1:
             spec = _tp_spec_for(path, leaf)
         if spec == P() and zero1_dp and dp_size > 1:
@@ -214,7 +229,7 @@ def constrain_params_for_use(params, stored_zero1: bool = True) -> Any:
     for path, leaf in zip(paths, leaves):
         spec = P()
         if pp_size > 1:
-            spec = _pp_spec_for(path, leaf)
+            spec = _pp_spec_for(path, leaf, tp=tp_size > 1)
         if spec == P() and tp_size > 1:
             spec = _tp_spec_for(path, leaf)
         if spec == P() and stored_zero1 and dp_size > 1:
@@ -245,11 +260,12 @@ def opt_state_shardings(mesh: Mesh, opt_state, zero1: bool = True) -> Any:
     dp when ``zero1``; scalars/counters replicate."""
     dp_size = mesh.shape.get("dp", 1)
     pp_size = mesh.shape.get("pp", 1)
+    tp_size = mesh.shape.get("tp", 1)
 
     def _leaf_sharding(path_leaf):
         path, leaf = path_leaf
         if pp_size > 1:
-            spec = _pp_spec_for(path, leaf)
+            spec = _pp_spec_for(path, leaf, tp=tp_size > 1)
             if spec != P():
                 # moments of pipeline-stage layers live with their stage
                 return NamedSharding(mesh, spec)

@@ -18,6 +18,8 @@ multi-slice are this framework's additions):
   dp8        v5e:2x4, one slice, ZeRO-1
   dp4xsp2    v5e:2x4, sequence-sharded joint tower (seq_shard_axis)
   dcn16      v5e:2x4 x 2 slices (real slice_index!), dp16 hybrid mesh
+  dp2pp2tp2  v5e:2x4, 3D: pipelined joint stack with tensor-parallel
+             stage weights (round-4 tp x pp composition)
 
 Results go into docs/PARALLELISM.md's pod-readiness table.
 
@@ -119,7 +121,7 @@ def main():
     ap.add_argument("--unroll", action="store_true",
                     help="unrolled layers (production training layout; "
                          "scan is the compile-size-safe default)")
-    ap.add_argument("--layouts", default="dp8,dp4xsp2,dcn16")
+    ap.add_argument("--layouts", default="dp8,dp4xsp2,dp2pp2tp2,dcn16")
     args = ap.parse_args()
 
     import jax
@@ -143,13 +145,17 @@ def main():
                                           topology_name="v5e:2x4",
                                           num_slices=2)
 
-    def run(name, cfg, mesh, n_chips, sp=1, slice_size=None, zero1_dp=None):
+    def run(name, cfg, mesh, n_chips, sp=1, pp=1, tp=1, slice_size=None,
+            zero1_dp=None, plan_batch=None):
         batch = make_dummy_batch(cfg, batch_size=bpc * n_chips, seed=0,
                                  num_text_spans=cfg.data.num_text_spans_to_include)
         rec = compile_layout(name, cfg, mesh, batch, slice_size=slice_size)
-        # ZeRO shards live on the ICI-local dp axis only (mesh.py round 4)
-        plan = estimate_train_hbm(cfg, bpc, zero1_dp=zero1_dp or n_chips,
-                                  sp=sp)
+        # ZeRO shards live on the ICI-local dp axis only (mesh.py round 4);
+        # plan_batch = per-dp-shard batch when dp < n_chips (pp/tp groups
+        # hold the whole dp shard's activations)
+        plan = estimate_train_hbm(cfg, plan_batch or bpc,
+                                  zero1_dp=zero1_dp or n_chips,
+                                  sp=sp, pp=pp, tp=tp)
         rec["planner_total_gib"] = round(plan["total"] / 2**30, 3)
         rec["scan_layers"] = scan
         rec["per_chip_batch"] = bpc
@@ -165,6 +171,21 @@ def main():
         cfg = mr.load_config("base", scan_layers=scan, seq_shard_axis="sp")
         mesh = make_mesh(dp=4, sp=2, devices=list(topo8.devices))
         run("dp4xsp2 (v5e:2x4)", cfg, mesh, 8, sp=2)
+
+    if "dp2pp2tp2" in wanted:
+        # 3D layout: ZeRO-1 over dp2, joint stack pipelined over pp2 with
+        # Megatron-tp2 stage weights (round-4 composition,
+        # tests/test_pipeline.py::test_train_step_dp2_tp2_pp2_matches_dp2).
+        # Global batch = bpc*4 over dp2 -> 2*bpc rows/dp-shard, M=2 ticks:
+        # 4*bpc rows/shard (the chip-count-matched batch) was MEASURED OOM
+        # at v5e — 20.81G of 15.75G with 43.6% fragmentation (neither pp
+        # nor tp shards the residual activations, and the pipeline holds
+        # every tick's stage-boundary buffers without remat).
+        cfg = mr.load_config("base", scan_layers=True, pipeline_axis="pp",
+                             pipeline_microbatches=2)
+        mesh = make_mesh(dp=2, pp=2, tp=2, devices=list(topo8.devices))
+        run("dp2xpp2xtp2 (v5e:2x4)", cfg, mesh, 4, pp=2, tp=2, zero1_dp=2,
+            plan_batch=2 * bpc)
 
     if "dcn16" in wanted:
         cfg = mr.load_config("base", scan_layers=scan)

@@ -9,6 +9,9 @@ tested" there; here it is).
 Usage: python _mp_worker.py <process_id> <coordinator_port> <out_json> [layout]
 
 layout 'dp8' (default): dp=8 mesh, each worker feeds its half-batch.
+layout 'tp4x2': dp=4 x tp=2 mesh, device order interleaved so every
+Megatron tp psum pair (and every dp grad-psum pair) is cross-process;
+params live half-per-process.
 layout 'ring4x2': dp=4 x sp=2 mesh with the device order INTERLEAVED across
 the two processes so every sp pair — i.e. every ring-attention ppermute
 partner and every dp grad-psum pair — straddles the process boundary; the
@@ -117,7 +120,23 @@ def main():
         print(f"worker {pid} done", flush=True)
         return
 
-    if layout == "ring4x2":
+    if layout == "tp4x2":
+        # Megatron tensor parallelism ACROSS the process boundary: the
+        # interleaved order puts each tp pair (the per-layer psum partners,
+        # parallel/sharding.py::_tp_spec_for) in different processes, so
+        # every layer's tp reduction and every dp grad-psum pair is a
+        # cross-process collective; each param lives half-per-process.
+        devs = sorted(jax.devices(), key=lambda d: d.id)
+        order = [devs[i] for i in (0, 4, 1, 5, 2, 6, 3, 7)]
+        mesh = make_mesh(dp=4, tp=2, devices=order)
+
+        def local_batches(n):
+            # every dp row is addressable from both processes (its tp pair
+            # has one device in each) -> the local slice is the full batch
+            for i in range(n):
+                yield make_dummy_batch(cfg, batch_size=8, seed=i,
+                                       num_text_spans=16)
+    elif layout == "ring4x2":
         import dataclasses as dc
 
         cfg = dc.replace(cfg, model=dc.replace(

@@ -89,6 +89,42 @@ def test_dp2_tp2_sp2_matches_single_device(setup, cpu_devices):
         assert abs(float(m1[k]) - float(msp[k])) < 1e-4, (k, m1[k], msp[k])
 
 
+def test_dcn2_dp2_sp2_matches_single_device(setup, cpu_devices):
+    """dcn x sp composition (support-matrix cell): a 2-slice hybrid mesh
+    (virtual devices take the contiguous-reshape fallback — make_mesh) with
+    GSPMD sequence sharding; batches span ("dcn", "dp") while the sp
+    collectives stay on the intra-slice axes."""
+    cfg, model, params, batch = setup
+    m1, _ = _one_step(cfg, model, params, batch,
+                      make_mesh(dp=1, tp=1, devices=cpu_devices[:1]), False)
+    cfg_sp = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, seq_shard_axis="sp"))
+    model_sp = type(model).from_config(cfg_sp)
+    msp, _ = _one_step(cfg_sp, model_sp, params, batch,
+                       make_mesh(dp=4, sp=2, dcn_dp=2,
+                                 devices=cpu_devices[:8]), True)
+    for k in m1:
+        assert abs(float(m1[k]) - float(msp[k])) < 1e-4, (k, m1[k], msp[k])
+
+
+def test_dcn2_pp2_matches_single_device(setup, cpu_devices):
+    """dcn x pp composition (support-matrix cell): the pipelined joint stack
+    under a 2-slice mesh — stage ppermutes ride the intra-slice axes; only
+    the grad reduction spans dcn."""
+    cfg, model, params, batch = setup
+    m1, _ = _one_step(cfg, model, params, batch,
+                      make_mesh(dp=1, tp=1, devices=cpu_devices[:1]), False)
+    cfg_pp = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, pipeline_axis="pp",
+                                       pipeline_microbatches=2))
+    model_pp = type(model).from_config(cfg_pp)
+    mpp, _ = _one_step(cfg_pp, model_pp, params, batch,
+                       make_mesh(dp=2, pp=2, dcn_dp=2,
+                                 devices=cpu_devices[:4]), True)
+    for k in m1:
+        assert abs(float(m1[k]) - float(mpp[k])) < 1e-4, (k, m1[k], mpp[k])
+
+
 def test_dp2_tp2_remat_matches_single_device(setup, cpu_devices):
     """tp x remat composition (support-matrix cell): gradient checkpointing
     under tensor-parallel weight sharding."""

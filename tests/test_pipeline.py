@@ -134,6 +134,50 @@ def test_pipeline_seq_sharding_propagates_inside(encoder_setup, cpu_devices):
         "region — sp propagation regressed")
 
 
+def test_pipeline_tensor_parallel_inside_stage(encoder_setup, cpu_devices):
+    """tp x pp composition (round 4): stacked layer params carry Megatron tp
+    specs on their non-stacked dims (P("pp", ...tp...), _pp_spec_for) which
+    flow into the partial-manual pipeline region as auto axes — each stage's
+    layer matmuls run tensor-parallel. Structural check: the partitioned
+    HLO's local MLP up-projection is [NL/pp, H, 4H/tp] and the
+    tp-replicated [NL/pp, H, 4H] buffer never feeds a dot."""
+    kw, params, (x, coords, is_valid, seg), ref = encoder_setup
+    mesh = make_mesh(dp=1, tp=2, pp=2, devices=cpu_devices[:4])
+    enc_pp = TransformerEncoder(pipeline_axis="pp", pipeline_microbatches=2,
+                                **kw)
+
+    from merlot_reserve_tpu.parallel.sharding import param_shardings
+    sh = param_shardings(mesh, {"joint_transformer": params})[
+        "joint_transformer"]
+    p_sharded = jax.device_put(params, sh)
+
+    def f(p, x):
+        return enc_pp.apply({"params": p}, x, rotary_coords=coords,
+                            is_valid=is_valid, segment_ids=seg)["seq"]
+
+    with activate_mesh(mesh):
+        jitted = jax.jit(f)
+        hlo = jitted.lower(p_sharded, x).compile().as_text()
+        out = jitted(p_sharded, x)
+    assert float(jnp.abs(out - ref).max()) < 2e-5
+    # NL=4, pp=2, H=32, 4H=128, tp=2: stage-local tp-sharded up-proj kernel
+    assert "f32[2,32,64]" in hlo, "MLP kernel not tp-sharded inside the stage"
+    assert "f32[2,32,128]" not in hlo, (
+        "full (tp-replicated) MLP kernel materialized inside the pipeline "
+        "stage — tp composition regressed")
+
+
+def test_train_step_dp2_tp2_pp2_matches_dp2(cpu_devices):
+    """full train step on the 3-axis dp x tp x pp mesh reproduces the dp-only
+    losses (ZeRO-1 masters, tp'd stage weights, pipelined joint stack)."""
+    base = _one_step(_tiny_config(),
+                     make_mesh(dp=2, devices=cpu_devices[:2]))
+    tpp = _one_step(_tiny_config(pipeline_axis="pp", pipeline_microbatches=2),
+                    make_mesh(dp=2, tp=2, pp=2, devices=cpu_devices[:8]))
+    for k in base:
+        assert abs(base[k] - tpp[k]) < 1e-4, (k, base[k], tpp[k])
+
+
 def test_pipeline_sp_grads(encoder_setup, cpu_devices):
     """grads through the sp x pp composition match the plain encoder."""
     kw, params, (x, coords, is_valid, seg), _ = encoder_setup

@@ -233,6 +233,147 @@ def test_ring_dp_sp_combined_mesh(cpu_devices):
                                np.asarray(out_full) * mask, atol=2e-5)
 
 
+def test_ring_dcn_hybrid_mesh(cpu_devices):
+    """ring x dcn_dp (support-matrix cell): on a 2-slice hybrid mesh the
+    batch spans ("dcn", "dp") inside the ring's shard_map (batch_axes) and
+    the K/V rotations stay on the intra-slice sp axis."""
+    from merlot_reserve_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=4, sp=2, dcn_dp=2, devices=cpu_devices[:8])
+    rng = np.random.RandomState(20)
+    B, L, H, D = 4, 64, 2, 8
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(B, L) > 0.2)
+    segs = jnp.asarray(np.sort(rng.randint(0, 2, (B, L)), -1))
+
+    out_ring = sequence_parallel_attention(mesh, q, k, v, valid, segs)
+    out_u = sequence_parallel_attention(mesh, q, k, v, valid, segs,
+                                        impl="ulysses")
+    out_full = xla_attention(q, k, v, make_attention_bias(is_valid=valid,
+                                                          segment_ids=segs))
+    mask = np.asarray(valid)[..., None, None]
+    np.testing.assert_allclose(np.asarray(out_ring) * mask,
+                               np.asarray(out_full) * mask, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_u) * mask,
+                               np.asarray(out_full) * mask, atol=2e-5)
+
+
+def test_ring_tp_sharded_heads(cpu_devices):
+    """tp x ring composition (round 4): on a dp x sp x tp mesh the head dim
+    shards over tp inside the ring's shard_map — each tp shard rings only
+    its own Megatron head slice (parallel/sharding.py qkv specs) instead of
+    all-gathering and computing every head redundantly. Output must still
+    match full attention."""
+    mesh = Mesh(np.asarray(cpu_devices[:8]).reshape(2, 2, 2),
+                axis_names=("dp", "sp", "tp"))
+    rng = np.random.RandomState(16)
+    B, L, H, D = 4, 64, 4, 8
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(B, L) > 0.2)
+    segs = jnp.asarray(np.sort(rng.randint(0, 2, (B, L)), -1))
+
+    out_ring = sequence_parallel_attention(mesh, q, k, v, valid, segs)
+    out_full = xla_attention(q, k, v, make_attention_bias(is_valid=valid,
+                                                          segment_ids=segs))
+    mask = np.asarray(valid)[..., None, None]
+    np.testing.assert_allclose(np.asarray(out_ring) * mask,
+                               np.asarray(out_full) * mask, atol=2e-5)
+
+    # structural: the shard-local ring body must see H/tp = 2 heads — a
+    # [B/dp, L/sp, 4, D] body input means the heads were all-gathered
+    jaxpr = jax.make_jaxpr(
+        lambda q_, k_, v_: sequence_parallel_attention(mesh, q_, k_, v_,
+                                                       valid, segs))(q, k, v)
+    shmaps = [e for e in _walk_jaxpr_eqns(jaxpr.jaxpr)
+              if e.primitive.name == "shard_map"]
+    assert shmaps, "expected a shard_map in the ring jaxpr"
+    body_q = shmaps[0].params["jaxpr"].invars[0].aval.shape
+    assert tuple(body_q) == (B // 2, L // 2, H // 2, D), body_q
+
+
+def test_ulysses_tp_sharded_heads(cpu_devices):
+    """tp x ulysses: local heads (H/tp) split again over the sp axis by the
+    all_to_all; with H=8, tp=2, sp=2 each device runs 2 full-sequence
+    heads."""
+    mesh = Mesh(np.asarray(cpu_devices[:8]).reshape(2, 2, 2),
+                axis_names=("dp", "sp", "tp"))
+    rng = np.random.RandomState(17)
+    B, L, H, D = 4, 64, 8, 8
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(B, L) > 0.2)
+    segs = jnp.asarray(np.sort(rng.randint(0, 2, (B, L)), -1))
+
+    out_u = sequence_parallel_attention(mesh, q, k, v, valid, segs,
+                                        impl="ulysses")
+    out_full = xla_attention(q, k, v, make_attention_bias(is_valid=valid,
+                                                          segment_ids=segs))
+    mask = np.asarray(valid)[..., None, None]
+    np.testing.assert_allclose(np.asarray(out_u) * mask,
+                               np.asarray(out_full) * mask, atol=2e-5)
+
+
+def test_ulysses_tp_local_head_divisibility(cpu_devices):
+    """the divisibility guard counts LOCAL (post-tp) heads: 4 heads / tp2 =
+    2 local heads cannot split over sp=4."""
+    mesh = Mesh(np.asarray(cpu_devices[:8]).reshape(4, 2),
+                axis_names=("sp", "tp"))
+    rng = np.random.RandomState(18)
+    q = jnp.asarray(rng.randn(1, 32, 4, 8).astype(np.float32))
+    with pytest.raises(AssertionError, match="2 local heads"):
+        sequence_parallel_attention(mesh, q, q, q, impl="ulysses")
+
+
+def test_encoder_ring_with_tp_sharded_params(cpu_devices):
+    """Full Megatron x ring stack: encoder params tp-sharded by
+    param_shardings' Megatron specs, activations seq-sharded over sp, ring
+    attention ringing each tp shard's own heads — matches the dense
+    single-device encoder at valid positions."""
+    from merlot_reserve_tpu.models.layers import TransformerEncoder
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.parallel.mesh import activate_mesh
+    from merlot_reserve_tpu.parallel.sharding import param_shardings
+
+    mesh = make_mesh(dp=2, sp=2, tp=2, devices=cpu_devices[:8])
+    rng = np.random.RandomState(19)
+    B, L, H = 4, 64, 64  # 4 heads of 16: 2 per tp shard
+    kw = dict(hidden_size=H, num_layers=2, size_per_head=16, rotary_hsize=8)
+    enc_dense = TransformerEncoder(**kw)
+    enc_ring = TransformerEncoder(attention_impl="ring",
+                                  seq_shard_axis="sp", **kw)
+    x = jnp.asarray(rng.randn(B, L, H).astype(np.float32))
+    coords = jnp.asarray(
+        np.broadcast_to(np.arange(L, dtype=np.float32)[None, :, None],
+                        (B, L, 1)))
+    valid = np.ones((B, L), bool)
+    valid[0, 50:] = False
+    valid = jnp.asarray(valid)
+    segs = jnp.asarray(np.sort(rng.randint(0, 2, (B, L)), -1))
+
+    params = enc_dense.init(jax.random.PRNGKey(0), x, rotary_coords=coords,
+                            is_valid=valid, segment_ids=segs)
+    out_dense = enc_dense.apply(params, x, rotary_coords=coords,
+                                is_valid=valid, segment_ids=segs)["seq"]
+
+    sh = param_shardings(mesh, params)
+    p_tp = jax.device_put(params, sh)
+    with activate_mesh(mesh):
+        out_ring = jax.jit(
+            lambda p, x_: enc_ring.apply(p, x_, rotary_coords=coords,
+                                         is_valid=valid,
+                                         segment_ids=segs)["seq"]
+        )(p_tp, x)
+    mask = np.asarray(valid)[..., None]
+    np.testing.assert_allclose(np.asarray(out_ring) * mask,
+                               np.asarray(out_dense) * mask,
+                               atol=3e-5, rtol=1e-5)
+
+
 def _walk_jaxpr_eqns(jaxpr):
     for eqn in jaxpr.eqns:
         yield eqn
