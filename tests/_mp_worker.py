@@ -18,6 +18,9 @@ partner and every dp grad-psum pair — straddles the process boundary; the
 joint tower runs joint_attention_impl='ring'. Each worker feeds the full
 global batch (with cross-process sp replication every dp row is addressable
 from both processes, so the process-local slice IS the full batch).
+layout 'ulysses4x2' / 'sp4x2': same interleaved dp=4 x sp=2 mesh with
+joint_attention_impl='ulysses' (cross-process all_to_alls) / plain GSPMD
+sequence sharding (cross-process K/V all-gathers).
 """
 
 import json
@@ -136,11 +139,15 @@ def main():
             for i in range(n):
                 yield make_dummy_batch(cfg, batch_size=8, seed=i,
                                        num_text_spans=16)
-    elif layout == "ring4x2":
+    elif layout in ("ring4x2", "ulysses4x2", "sp4x2"):
         import dataclasses as dc
 
+        # sp4x2 = plain GSPMD sequence sharding (cross-process K/V
+        # all-gathers); ring/ulysses swap in the explicit collectives
+        impl = {"ring4x2": "ring", "ulysses4x2": "ulysses",
+                "sp4x2": None}[layout]
         cfg = dc.replace(cfg, model=dc.replace(
-            cfg.model, seq_shard_axis="sp", joint_attention_impl="ring"))
+            cfg.model, seq_shard_axis="sp", joint_attention_impl=impl))
         devs = sorted(jax.devices(), key=lambda d: d.id)
         # interleave: sp pairs (and each dp row) straddle the two processes
         order = [devs[i] for i in (0, 4, 1, 5, 2, 6, 3, 7)]

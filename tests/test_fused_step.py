@@ -85,6 +85,86 @@ def test_fused_step_matches_two_stage(cfg, corpus):
         jax.device_get(st1b.params), jax.device_get(st2b.params))
 
 
+def test_fused_step_tp_sp_matches_dp(cfg, corpus):
+    """fused data+train step x (tp, sp) (support-matrix cells): in-graph
+    example assembly under Megatron weight sharding + GSPMD sequence
+    sharding of the joint tower must reproduce the plain-dp fused metrics
+    (same data_seed + step -> same in-graph mask key -> same batch)."""
+    import dataclasses
+
+    loader = _raw_loader(cfg, corpus)
+    raw_batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+    builder = loader._dev_builder
+
+    model = MerlotReservePretrainer.from_config(cfg)
+    raw0 = dict(jax.device_get(raw_batch))
+    images = raw0.pop("images")
+    b0 = dict(jax.device_get(builder.build_batch(
+        jax.random.PRNGKey(7), jax.tree.map(jnp.asarray, raw0))))
+    b0["images"] = images
+    params = model.init_params(b0)
+
+    state = construct_train_state(cfg.optimizer, model, params)
+    mesh_dp = make_mesh(dp=2, devices=jax.devices("cpu")[:2])
+    fused_dp, st_dp = make_jit_fused_data_train_step(mesh_dp, state, builder,
+                                                     data_seed=7,
+                                                     donate=False)
+    _, m_dp = fused_dp(st_dp, raw_batch)
+
+    cfg_sp = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, seq_shard_axis="sp"))
+    model_sp = MerlotReservePretrainer.from_config(cfg_sp)
+    params2 = jax.tree.map(np.array, params)
+    state2 = construct_train_state(cfg_sp.optimizer, model_sp, params2)
+    mesh3 = make_mesh(dp=2, tp=2, sp=2, devices=jax.devices("cpu")[:8])
+    fused3, st3 = make_jit_fused_data_train_step(mesh3, state2, builder,
+                                                 data_seed=7, donate=False)
+    _, m3 = fused3(st3, raw_batch)
+
+    for k in m_dp:
+        assert abs(float(m_dp[k]) - float(m3[k])) < 1e-4, (k, m_dp[k], m3[k])
+
+
+def test_fused_step_pp_matches_dp(cfg, corpus):
+    """fused data+train step x pp: in-graph assembly feeding the pipelined
+    joint stack (partial-manual shard_map region) matches plain dp."""
+    import dataclasses
+
+    loader = _raw_loader(cfg, corpus, batch_size=4)
+    raw_batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+    builder = loader._dev_builder
+
+    model = MerlotReservePretrainer.from_config(cfg)
+    raw0 = dict(jax.device_get(raw_batch))
+    images = raw0.pop("images")
+    b0 = dict(jax.device_get(builder.build_batch(
+        jax.random.PRNGKey(7), jax.tree.map(jnp.asarray, raw0))))
+    b0["images"] = images
+    params = model.init_params(b0)
+
+    state = construct_train_state(cfg.optimizer, model, params)
+    mesh_dp = make_mesh(dp=2, devices=jax.devices("cpu")[:2])
+    fused_dp, st_dp = make_jit_fused_data_train_step(mesh_dp, state, builder,
+                                                     data_seed=7,
+                                                     donate=False)
+    _, m_dp = fused_dp(st_dp, raw_batch)
+
+    cfg_pp = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, pipeline_axis="pp",
+                                       pipeline_microbatches=2))
+    model_pp = MerlotReservePretrainer.from_config(cfg_pp)
+    params2 = jax.tree.map(np.array, params)
+    state2 = construct_train_state(cfg_pp.optimizer, model_pp, params2)
+    mesh_pp = make_mesh(dp=2, pp=2, devices=jax.devices("cpu")[:4])
+    fused_pp, st_pp = make_jit_fused_data_train_step(mesh_pp, state2, builder,
+                                                     data_seed=7,
+                                                     donate=False)
+    _, m_pp = fused_pp(st_pp, raw_batch)
+
+    for k in m_dp:
+        assert abs(float(m_dp[k]) - float(m_pp[k])) < 1e-4, (k, m_dp[k], m_pp[k])
+
+
 def test_fused_masks_fresh_each_step(cfg, corpus):
     """The in-graph key folds state.step: the same raw batch at different
     steps must draw different masks (different metrics)."""

@@ -147,6 +147,63 @@ def test_two_process_ring_attention_crosses_hosts(tmp_path):
         f"cross-host ring {mp_logged} vs single-process dense {logged}")
 
 
+@pytest.mark.parametrize("layout", ["ulysses4x2", "sp4x2"])
+def test_two_process_sequence_parallel_crosses_hosts(tmp_path, layout):
+    """The other two sequence-parallel strategies across the process
+    boundary (support-matrix multi-host x ulysses / x sp cells):
+    'ulysses4x2' routes the head-swap all_to_alls cross-process, 'sp4x2'
+    the GSPMD K/V all-gathers. Same interleaved dp=4 x sp=2 mesh as the
+    ring test; losses must match the single-process dp=8 dense baseline."""
+    port = _free_port()
+    outs = [str(tmp_path / f"{layout}_loss_{i}.json") for i in range(2)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(_HERE, "_mp_worker.py"),
+         str(i), str(port), outs[i], layout],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    logs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"{layout} worker failed:\n{log[-4000:]}"
+
+    with open(outs[0]) as f:
+        mp_logged = json.load(f)
+
+    import dataclasses
+
+    import jax
+
+    import merlot_reserve_tpu as mr
+    from merlot_reserve_tpu.data.dummy import make_dummy_batch
+    from merlot_reserve_tpu.parallel import make_mesh
+    from merlot_reserve_tpu.training.pretrain import run_pretraining
+    from merlot_reserve_tpu.utils.experiment import NullTracker
+
+    cfg = mr.load_config("base", hidden_size=64, joint_num_layers=2,
+                         vit_num_layers=2, audio_num_layers=2,
+                         span_num_layers=2, size_per_head=32,
+                         output_grid=(4, 4), use_bfloat16=False)
+    cfg = cfg.replace_data(num_segments=4, num_segment_groups=2, seq_len=80,
+                           lang_seq_len=40, num_text_spans_to_include=8)
+    cfg = dataclasses.replace(cfg, optimizer=dataclasses.replace(
+        cfg.optimizer, num_train_steps=100, num_warmup_steps=10))
+
+    def batches(n):
+        for i in range(n):
+            yield make_dummy_batch(cfg, batch_size=8, seed=i, num_text_spans=16)
+
+    logged = []
+    run_pretraining(cfg, batches(3), num_steps=3,
+                    mesh=make_mesh(dp=8, devices=jax.devices("cpu")[:8]),
+                    log_every=1, tracker=NullTracker(),
+                    log_fn=lambda s, m: logged.append((s, m)))
+
+    assert _close(mp_logged, [list(x) for x in _jsonish(logged)]), (
+        f"cross-host {layout} {mp_logged} vs single-process dense {logged}")
+
+
 def test_two_process_tensor_parallel_crosses_hosts(tmp_path):
     """Megatron tp across the process boundary (support-matrix multi-host x
     tp cell): the worker interleaves the mesh device order so every
