@@ -263,6 +263,9 @@ class MerlotConfig:
     def replace_data(self, **kw) -> "MerlotConfig":
         return dataclasses.replace(self, data=dataclasses.replace(self.data, **kw))
 
+    def replace_device(self, **kw) -> "MerlotConfig":
+        return dataclasses.replace(self, device=dataclasses.replace(self.device, **kw))
+
     @property
     def joint_seq_len(self) -> int:
         """lang_seq_len + vision tokens per segment group; must match data.seq_len

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Pod-topology AOT validation (VERDICT r3 item 3): compile the FULL base
-production train step for real multi-chip TPU topologies WITHOUT the
-hardware, via JAX AOT topology descriptions
+"""Pod-topology AOT validation (VERDICT r3 item 3 / r4 item 1): compile the
+FULL production train step — base or large — for real multi-chip TPU
+topologies WITHOUT the hardware, via JAX AOT topology descriptions
 (jax.experimental.topologies.get_topology_desc — the v5e compiler runs
 chiplessly), and report per layout:
 
@@ -12,18 +12,24 @@ chiplessly), and report per layout:
     parallel/memory.py's planner prediction.
 
 Layouts (the reference's operating regime is pure dp on a v3 pod,
-/root/reference/pretrain/train.py:106-107 + configs/base.yaml:70-74; sp and
-multi-slice are this framework's additions):
+/root/reference/pretrain/train.py:106-107 + configs/base.yaml:70-74; the
+reference pretrained `large` the same way on v3-512, large.yaml:46-89 —
+sp/tp/pp and multi-slice are this framework's additions):
 
   dp8        v5e:2x4, one slice, ZeRO-1
   dp4xsp2    v5e:2x4, sequence-sharded joint tower (seq_shard_axis)
-  dcn16      v5e:2x4 x 2 slices (real slice_index!), dp16 hybrid mesh
+  dp4xtp2    v5e:2x4, Megatron-tp2 tower weights (the large-model memory axis)
   dp2pp2tp2  v5e:2x4, 3D: pipelined joint stack with tensor-parallel
              stage weights (round-4 tp x pp composition)
+  dp16       v5e:4x4, one slice, ZeRO-1 over 16 chips
+  dcn16      v5e:2x4 x 2 slices (real slice_index!), dp16 hybrid mesh
+  dp64       v5e:8x8 pod slice, ZeRO-1 over 64 chips (pod-scale dress
+             rehearsal for the reference's 1024-global-batch recipe)
 
-Results go into docs/PARALLELISM.md's pod-readiness table.
+Results go into docs/PARALLELISM.md's pod-readiness tables (base AND large).
 
-Usage: python scripts/pod_readiness.py [--batch-per-chip 1] [--unroll]
+Usage: python scripts/pod_readiness.py [--config base|large]
+           [--batch-per-chip 1] [--unroll] [--remat] [--layouts ...]
 Prints one JSON line per layout.
 """
 
@@ -117,11 +123,21 @@ def compile_layout(name, cfg, mesh, batch_np, slice_size=None):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="base", choices=["base", "large"],
+                    help="model scale to compile (the reference trained "
+                         "both pure-dp on v3 pods)")
     ap.add_argument("--batch-per-chip", type=int, default=1)
     ap.add_argument("--unroll", action="store_true",
                     help="unrolled layers (production training layout; "
                          "scan is the compile-size-safe default)")
-    ap.add_argument("--layouts", default="dp8,dp4xsp2,dp2pp2tp2,dcn16")
+    ap.add_argument("--remat", action="store_true",
+                    help="gradient checkpointing on every tower (the "
+                         "reference's own large-scale lever, "
+                         "modeling.py:17-19)")
+    ap.add_argument("--layouts",
+                    default="dp8,dp4xsp2,dp2pp2tp2,dcn16",
+                    help="comma list of dp8,dp4xsp2,dp4xtp2,dp2pp2tp2,"
+                         "dp16,dcn16,dp64")
     args = ap.parse_args()
 
     import jax
@@ -138,39 +154,58 @@ def main():
 
     scan = not args.unroll
     bpc = args.batch_per_chip
+    base_overrides = dict(scan_layers=scan, gradient_checkpoint=args.remat)
 
-    topo8 = topologies.get_topology_desc(platform="tpu",
-                                         topology_name="v5e:2x4")
-    topo16 = topologies.get_topology_desc(platform="tpu",
-                                          topology_name="v5e:2x4",
-                                          num_slices=2)
+    def topo(name, num_slices=1):
+        return topologies.get_topology_desc(
+            platform="tpu", topology_name=name,
+            **({"num_slices": num_slices} if num_slices > 1 else {}))
 
-    def run(name, cfg, mesh, n_chips, sp=1, pp=1, tp=1, slice_size=None,
-            zero1_dp=None, plan_batch=None):
-        batch = make_dummy_batch(cfg, batch_size=bpc * n_chips, seed=0,
+    def load(**kw):
+        return mr.load_config(args.config, **{**base_overrides, **kw})
+
+    def run(name, cfg, mesh, n_chips, global_batch, sp=1, pp=1, tp=1,
+            slice_size=None, zero1_dp=None, plan_batch=None):
+        batch = make_dummy_batch(cfg, batch_size=global_batch, seed=0,
                                  num_text_spans=cfg.data.num_text_spans_to_include)
         rec = compile_layout(name, cfg, mesh, batch, slice_size=slice_size)
         # ZeRO shards live on the ICI-local dp axis only (mesh.py round 4);
         # plan_batch = per-dp-shard batch when dp < n_chips (pp/tp groups
         # hold the whole dp shard's activations)
-        plan = estimate_train_hbm(cfg, plan_batch or bpc,
+        plan = estimate_train_hbm(cfg, plan_batch or global_batch // n_chips,
+                                  remat=args.remat,
                                   zero1_dp=zero1_dp or n_chips,
                                   sp=sp, pp=pp, tp=tp)
         rec["planner_total_gib"] = round(plan["total"] / 2**30, 3)
-        rec["scan_layers"] = scan
-        rec["per_chip_batch"] = bpc
+        # recorded from the layout's ACTUAL compiled configuration, not the
+        # shared CLI flags (they can differ: dp2pp2tp2 forces scan and
+        # carries global_batch/n_chips != bpc)
+        rec["scan_layers"] = cfg.model.scan_layers
+        rec["remat"] = cfg.model.gradient_checkpoint
+        rec["config"] = args.config
+        rec["per_chip_batch"] = global_batch / n_chips
+        rec["global_batch"] = global_batch
         print(json.dumps(rec), flush=True)
 
     wanted = set(args.layouts.split(","))
     if "dp8" in wanted:
-        cfg = mr.load_config("base", scan_layers=scan)
-        mesh = make_mesh(dp=8, devices=list(topo8.devices))
-        run("dp8 (v5e:2x4)", cfg, mesh, 8)
+        cfg = load()
+        mesh = make_mesh(dp=8, devices=list(topo("v5e:2x4").devices))
+        run("dp8 (v5e:2x4)", cfg, mesh, 8, global_batch=8 * bpc)
 
     if "dp4xsp2" in wanted:
-        cfg = mr.load_config("base", scan_layers=scan, seq_shard_axis="sp")
-        mesh = make_mesh(dp=4, sp=2, devices=list(topo8.devices))
-        run("dp4xsp2 (v5e:2x4)", cfg, mesh, 8, sp=2)
+        cfg = load(seq_shard_axis="sp")
+        mesh = make_mesh(dp=4, sp=2, devices=list(topo("v5e:2x4").devices))
+        run("dp4xsp2 (v5e:2x4)", cfg, mesh, 8, global_batch=8 * bpc, sp=2)
+
+    if "dp4xtp2" in wanted:
+        # Megatron-tp2 tower weights: the memory axis for large — params,
+        # moments AND masters halve per chip on every matmul kernel, at one
+        # psum per Megatron pair per layer (parallel/sharding.py::_tp_spec_for)
+        cfg = load()
+        mesh = make_mesh(dp=4, tp=2, devices=list(topo("v5e:2x4").devices))
+        run("dp4xtp2 (v5e:2x4)", cfg, mesh, 8, global_batch=4 * bpc,
+            tp=2, zero1_dp=4, plan_batch=bpc)
 
     if "dp2pp2tp2" in wanted:
         # 3D layout: ZeRO-1 over dp2, joint stack pipelined over pp2 with
@@ -178,20 +213,31 @@ def main():
         # tests/test_pipeline.py::test_train_step_dp2_tp2_pp2_matches_dp2).
         # Global batch = bpc*4 over dp2 -> 2*bpc rows/dp-shard, M=2 ticks:
         # 4*bpc rows/shard (the chip-count-matched batch) was MEASURED OOM
-        # at v5e — 20.81G of 15.75G with 43.6% fragmentation (neither pp
-        # nor tp shards the residual activations, and the pipeline holds
-        # every tick's stage-boundary buffers without remat).
-        cfg = mr.load_config("base", scan_layers=True, pipeline_axis="pp",
-                             pipeline_microbatches=2)
-        mesh = make_mesh(dp=2, pp=2, tp=2, devices=list(topo8.devices))
-        run("dp2xpp2xtp2 (v5e:2x4)", cfg, mesh, 4, pp=2, tp=2, zero1_dp=2,
-            plan_batch=2 * bpc)
+        # at v5e for base — 20.81G of 15.75G with 43.6% fragmentation
+        # (neither pp nor tp shards the residual activations, and the
+        # pipeline holds every tick's stage-boundary buffers without remat).
+        cfg = load(scan_layers=True, pipeline_axis="pp",
+                   pipeline_microbatches=2)
+        mesh = make_mesh(dp=2, pp=2, tp=2, devices=list(topo("v5e:2x4").devices))
+        run("dp2xpp2xtp2 (v5e:2x4)", cfg, mesh, 4, global_batch=4 * bpc,
+            pp=2, tp=2, zero1_dp=2, plan_batch=2 * bpc)
+
+    if "dp16" in wanted:
+        cfg = load()
+        mesh = make_mesh(dp=16, devices=list(topo("v5e:4x4").devices))
+        run("dp16 (v5e:4x4)", cfg, mesh, 16, global_batch=16 * bpc)
 
     if "dcn16" in wanted:
-        cfg = mr.load_config("base", scan_layers=scan)
-        mesh = make_mesh(dp=16, devices=list(topo16.devices), dcn_dp=2)
-        run("dp16 dcn_dp=2 (2x v5e:2x4)", cfg, mesh, 16, slice_size=8,
-            zero1_dp=8)
+        cfg = load()
+        mesh = make_mesh(dp=16, devices=list(topo("v5e:2x4", 2).devices),
+                         dcn_dp=2)
+        run("dp16 dcn_dp=2 (2x v5e:2x4)", cfg, mesh, 16,
+            global_batch=16 * bpc, slice_size=8, zero1_dp=8)
+
+    if "dp64" in wanted:
+        cfg = load()
+        mesh = make_mesh(dp=64, devices=list(topo("v5e:8x8").devices))
+        run("dp64 (v5e:8x8)", cfg, mesh, 64, global_batch=64 * bpc)
 
 
 if __name__ == "__main__":

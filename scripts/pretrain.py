@@ -23,6 +23,8 @@ def main():
     ap.add_argument("-train_fns", default=None,
                     help="glob or {:05d}-style pattern for TFRecord shards")
     ap.add_argument("-num_steps", type=int, default=None)
+    ap.add_argument("-batch_size", type=int, default=None,
+                    help="override device.batch_size (global batch)")
     ap.add_argument("-seed", type=int, default=None)
     ap.add_argument("-distributed", action="store_true",
                     help="call jax.distributed.initialize() first")
@@ -59,6 +61,8 @@ def main():
     cfg = mr.load_config(args.config)
     if args.on_device_frames:
         cfg = cfg.replace_data(on_device_frames=True)
+    if args.batch_size:
+        cfg = cfg.replace_device(batch_size=args.batch_size)
 
     pattern = args.train_fns or cfg.data.train_fns
     if "{" in pattern:
