@@ -21,8 +21,9 @@ fallback.
   * 'xla':   jnp.einsum attention (wins at the reference's short lengths).
   * 'auto':  flash on TPU when seq_len >= _FLASH_MIN_LEN, else xla.
   * 'ring':  sequence-parallel ring attention over the active mesh's sp
-    axis (ops/ring_attention.py) — 'ring' / 'ring:lax' (differentiable),
-    'ring:flash' / 'ring:rdma' (Pallas per-hop / in-kernel RDMA, fwd-only),
+    axis (ops/ring_attention.py) — 'ring' / 'ring:lax' and 'ring:flash'
+    (both differentiable; flash = Pallas kernels per hop, fwd and bwd),
+    'ring:rdma' (single in-kernel RDMA ring, fwd-only),
     optionally 'ring:IMPL:AXIS' to ring over a different mesh axis. Needs
     an active mesh (parallel.mesh.activate_mesh); degenerates to the dense
     path when the axis is absent or size 1, so a config with
@@ -366,29 +367,61 @@ def _flash_fwd_rule(q, k, v, is_valid, segment_ids, block_q, block_k, interpret)
     return out, (q, k, v, is_valid, segment_ids, out, lse)
 
 
-def _flash_bwd_rule(block_q, block_k, interpret, residuals, g):
+def _flash_backward(q, k, v, do, out, lse, is_valid, segment_ids,
+                    block_q=128, block_k=128, interpret=False,
+                    k_is_valid=None, k_segment_ids=None):
+    """Flash backward as two Pallas kernels: returns (dq, dk, dv).
+
+    The q-side residuals ``out``/``lse`` must be the FULL softmax statistics
+    for these queries — in the self-attention case that's _flash_forward's
+    outputs; in the ring's cross case (k_is_valid/k_segment_ids given, K/V
+    being one visiting shard) they are the globally-merged out/lse over all
+    shards, which makes per-shard p = exp(s - lse) the true global
+    probability and the per-hop dk/dv/dq contributions exactly additive.
+
+    ``lse``: [B, H, 1, *] f32 — padded (as _flash_forward returns) or
+    unpadded; re-padded here with zeros (padded q rows carry do == 0, so
+    every term they touch vanishes: ds = p * (dp - delta) with dp = do@V^T
+    = 0 and delta = rowsum(do*out) = 0).
+    """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    q, k, v, is_valid, segment_ids, out, lse = residuals
     B, L, H, D = q.shape
+    Lk = k.shape[1]
     scale = float(1.0 / np.sqrt(D))
+    cross = k_is_valid is not None
+    block_lcm = int(np.lcm(block_q, block_k))
 
-    # delta_i = rowsum(dO * O): one fused elementwise reduce, [B, H, Lp]
-    delta = jnp.einsum("blhd,blhd->bhl", g.astype(jnp.float32),
+    # delta_i = rowsum(dO * O): one fused elementwise reduce, [B, H, 1, L]
+    delta = jnp.einsum("blhd,blhd->bhl", do.astype(jnp.float32),
                        out.astype(jnp.float32))[:, :, None, :]
 
-    q, k, v, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
-        q, k, v, is_valid, segment_ids, int(np.lcm(block_q, block_k)))
-    g_p = jnp.pad(g, [(0, 0), (0, pad), (0, 0), (0, 0)]) if pad else g
-    delta = jnp.pad(delta, [(0, 0), (0, 0), (0, 0), (0, pad)]) if pad else delta
+    if cross:
+        q, _, _, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
+            q, q, q, is_valid, segment_ids, block_lcm)
+        k, v, _, k_is_valid, k_segment_ids, Lkp, k_pad = _pad_for_blocks(
+            k, v, v, k_is_valid, k_segment_ids, block_lcm)
+    else:
+        q, k, v, is_valid, segment_ids, Lp, pad = _pad_for_blocks(
+            q, k, v, is_valid, segment_ids, block_lcm)
+        k_is_valid, k_segment_ids, Lkp, k_pad = is_valid, segment_ids, Lp, pad
 
-    from jax.experimental.pallas import tpu as pltpu
+    g_p = jnp.pad(do, [(0, 0), (0, pad), (0, 0), (0, 0)]) if pad else do
+    delta = jnp.pad(delta, [(0, 0), (0, 0), (0, 0), (0, pad)]) if pad else delta
+    lse_pad = Lp - lse.shape[-1]
+    if lse_pad > 0:
+        lse = jnp.pad(lse, [(0, 0), (0, 0), (0, 0), (0, lse_pad)])
+    elif lse_pad < 0:
+        lse = lse[..., :Lp]
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     dot = g_p.transpose(0, 2, 1, 3)
     labels = jnp.stack([is_valid, segment_ids], axis=1)
+    k_labels = (jnp.stack([k_is_valid, k_segment_ids], axis=1) if cross
+                else labels)
 
     # dq: grid (b, h, q, k) with k innermost — q-indexed refs at i, k at j
     qlab_i = pl.BlockSpec((1, 2, block_q), lambda b, h, i, j: (b, 0, i))
@@ -399,13 +432,13 @@ def _flash_bwd_rule(block_q, block_k, interpret, residuals, g):
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale),
-        grid=(B, H, Lp // block_q, Lp // block_k),
+        grid=(B, H, Lp // block_q, Lkp // block_k),
         in_specs=[qlab_i, klab_j, qblk_i, kblk_j, kblk_j, qblk_i, stat_i, stat_i],
         out_specs=qblk_i,
         out_shape=jax.ShapeDtypeStruct((B, H, Lp, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=interpret,
-    )(labels, labels, qt, kt, vt, dot, lse, delta)
+    )(labels, k_labels, qt, kt, vt, dot, lse, delta)
 
     # dk/dv: grid (b, h, k, q) with q innermost — k-indexed refs at i, q at j
     qlab_j = pl.BlockSpec((1, 2, block_q), lambda b, h, i, j: (b, 0, j))
@@ -416,21 +449,29 @@ def _flash_bwd_rule(block_q, block_k, interpret, residuals, g):
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale),
-        grid=(B, H, Lp // block_k, Lp // block_q),
+        grid=(B, H, Lkp // block_k, Lp // block_q),
         in_specs=[qlab_j, klab_i, qblk_j, kblk_i, kblk_i, qblk_j, stat_j, stat_j],
         out_specs=(kblk_i, kblk_i),
-        out_shape=(jax.ShapeDtypeStruct((B, H, Lp, D), k.dtype),
-                   jax.ShapeDtypeStruct((B, H, Lp, D), v.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((B, H, Lkp, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, H, Lkp, D), v.dtype)),
         scratch_shapes=[pltpu.VMEM((block_k, D), jnp.float32),
                         pltpu.VMEM((block_k, D), jnp.float32)],
         interpret=interpret,
-    )(labels, labels, qt, kt, vt, dot, lse, delta)
+    )(labels, k_labels, qt, kt, vt, dot, lse, delta)
 
-    def unpack(x):
+    def unpack(x, orig_len, padded):
         x = x.transpose(0, 2, 1, 3)
-        return x[:, :L] if pad else x
+        return x[:, :orig_len] if padded else x
 
-    return unpack(dq), unpack(dk), unpack(dv), None, None
+    return (unpack(dq, L, pad), unpack(dk, Lk, k_pad), unpack(dv, Lk, k_pad))
+
+
+def _flash_bwd_rule(block_q, block_k, interpret, residuals, g):
+    q, k, v, is_valid, segment_ids, out, lse = residuals
+    dq, dk, dv = _flash_backward(q, k, v, g, out, lse, is_valid, segment_ids,
+                                 block_q=block_q, block_k=block_k,
+                                 interpret=interpret)
+    return dq, dk, dv, None, None
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -456,6 +497,79 @@ def _auto_block(Lp: int, cap: int) -> int:
             best = b
         b += 128
     return best
+
+
+def _axis_is_manual(name: str) -> bool:
+    """True iff ``name`` is bound as a MANUAL mesh axis at this trace point
+    (i.e. we are inside a shard_map region that lists it in axis_names)."""
+    import jax.lax as _lax
+
+    try:
+        _lax.axis_index(name)  # dead value; raises NameError when unbound
+        return True
+    except Exception:
+        return False
+
+
+def _flash_on_mesh(q, k, v, is_valid, segment_ids, block_q, block_k,
+                   interpret):
+    """Partition the flash kernels over the active mesh (support-matrix
+    flash x {dp, tp, sp} cells, round 5).
+
+    A pallas_call is a custom call GSPMD cannot partition: traced under a
+    mesh without help it gets REPLICATED — every device gathers the full
+    [B, L, H, D] operands and computes every batch row and head (measured
+    on the CPU mesh while closing the matrix). This wrapper runs the kernel
+    under shard_map instead, batch-sharded over the data axes and
+    head-sharded over tp (heads are independent in attention; with
+    Megatron-sharded qkv params — parallel/sharding.py puts P(None, "tp",
+    None) on the kernels whenever the mesh has tp>1 — q/k/v arrive
+    head-sharded already, so this is also zero-reshard). The seq dim stays
+    unsharded: softmax needs whole rows — under a GSPMD sp layout the
+    boundary all-gathers seq exactly like the dense path does; TRUE
+    seq-sharded flash is ring:flash / ulysses:flash (ops/ring_attention.py).
+
+    Returns None when the wrapper does not apply (no active mesh; nothing
+    shardable; already inside a manual region — e.g. the pipeline's
+    partial-manual stage region, where dp/sp stay GSPMD-auto and a nested
+    shard_map over them would conflict).
+    """
+    from merlot_reserve_tpu.parallel.mesh import (batch_axes, current_mesh,
+                                                  dp_size)
+
+    mesh = current_mesh()
+    if mesh is None:
+        return None
+    if any(_axis_is_manual(a) for a in mesh.shape):
+        return None
+    B, L, H, D = q.shape
+    bax = None
+    if "dp" in mesh.shape and dp_size(mesh) > 1 and B % dp_size(mesh) == 0:
+        bax = batch_axes(mesh)
+    hax = None
+    tp_n = mesh.shape.get("tp", 1)
+    if tp_n > 1 and H % tp_n == 0:
+        hax = "tp"
+    if bax is None and hax is None:
+        return None
+    from jax.sharding import PartitionSpec as P
+
+    qkv = P(bax, None, hax, None)
+    lbl = P(bax, None)
+    def body(q_, k_, v_, iv_, sg_):
+        # positional call: custom_vjp nondiff_argnums are position-resolved
+        return flash_attention(q_, k_, v_, iv_, sg_, block_q, block_k,
+                               interpret)
+    specs = dict(in_specs=(qkv, qkv, qkv, lbl, lbl), out_specs=qkv)
+    if hasattr(jax, "shard_map"):
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        fn = jax.shard_map(body, mesh=mesh, check_vma=False, **specs)
+    else:  # older JAX
+        from jax.experimental.shard_map import shard_map
+
+        fn = shard_map(body, mesh=mesh, **specs)
+    return fn(q, k, v, is_valid.astype(jnp.int32),
+              segment_ids.astype(jnp.int32))
 
 
 def resolve_impl(seq_len: int, impl: str = "auto", has_bias: bool = False,
@@ -543,6 +657,9 @@ def attention(q, k, v, *, is_valid=None, segment_ids=None, bias=None, impl: str 
             Lp = int(np.ceil(L / 128) * 128)
             bq = _auto_block(Lp, _FLASH_BLOCK_Q)
             bk = _auto_block(Lp, _FLASH_BLOCK_K)
+        out = _flash_on_mesh(q, k, v, is_valid, segment_ids, bq, bk, interpret)
+        if out is not None:
+            return out
         return flash_attention(q, k, v, is_valid, segment_ids, bq, bk, interpret)
 
     if bias is None and (is_valid is not None or segment_ids is not None):

@@ -23,7 +23,10 @@ Two sequence-parallel strategies live here, selected by impl string:
 ring ('lax'/'flash'/'rdma' — K/V rotate past fixed local queries, O(n) hops)
 and Ulysses ('ulysses'/'ulysses-flash' — one all_to_all trades the sequence
 sharding for a head sharding, O(1) collectives per call; needs
-num_heads % n == 0 and is differentiable with both inners).
+num_heads % n == 0 and is differentiable with both inners). 'lax',
+'flash' and both ulysses variants are differentiable — long-context
+TRAINING keeps the Pallas kernels via 'flash' even when heads don't
+divide the axis; only 'rdma' is forward-only.
 
 VALIDATION STATUS: the ``lax`` and per-hop ``flash`` implementations are
 equivalence-tested on the CPU mesh (kernels in interpret mode) AND exercised
@@ -154,19 +157,31 @@ def ring_flash_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp",
     Per-step partials are merged exactly with the flash log-sum-exp
     recurrence: out = sum_t out_t * exp(lse_t - logsumexp_t lse_t).
 
-    Forward-only (the Pallas kernels' custom VJP covers the single-shard
-    case; long-context *training* uses the lax-level ``ring_attention``,
-    which differentiates through ppermute/scan).
+    DIFFERENTIABLE (custom VJP): the backward runs its own K/V ring — each
+    hop applies the Pallas backward kernels (ops/attention.py::
+    _flash_backward) against the visiting shard using the globally-merged
+    out/lse residuals, so p = exp(s - lse) is the true global probability
+    and per-hop dq/dk/dv contributions are exactly additive; dk/dv
+    accumulators travel WITH their shard and come home on the final hop.
+    Long-context training keeps the flash kernels even when
+    num_heads % sp != 0 (where ulysses can't apply).
 
     All arguments are LOCAL shards (call under shard_map), same signature
     as ``ring_attention``. On CPU pass interpret=True (tests do).
     """
+    return _ring_flash(q, k, v, is_valid.astype(jnp.int32),
+                       segment_ids.astype(jnp.int32), axis_name,
+                       block_q, block_k, interpret)
+
+
+def _ring_flash_forward(q, k, v, q_valid, q_seg, axis_name, block_q, block_k,
+                        interpret):
+    """Forward ring (see ring_flash_attention): returns (out, merged lse
+    [B, Lq, H, 1] f32 — the full-sequence softmax stats the backward needs)."""
     from merlot_reserve_tpu.ops.attention import _flash_forward
 
     n = lax.psum(1, axis_name)
     B, Lq, H, D = q.shape
-    q_valid = is_valid.astype(jnp.int32)
-    q_seg = segment_ids.astype(jnp.int32)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def one_step(k_cur, v_cur, kv_valid, kv_seg):
@@ -207,8 +222,73 @@ def ring_flash_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp",
     carry, _ = lax.scan(step, carry0, None, length=n - 1)
     k_l, v_l, valid_l, seg_l, out, lse = carry
     out_t, lse_t = one_step(k_l, v_l, valid_l, seg_l)
-    out, _lse = lse_merge(out, lse, out_t, lse_t)
-    return out.astype(q.dtype)
+    out, lse = lse_merge(out, lse, out_t, lse_t)
+    return out.astype(q.dtype), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _ring_flash(q, k, v, q_valid, q_seg, axis_name, block_q, block_k,
+                interpret):
+    out, _ = _ring_flash_forward(q, k, v, q_valid, q_seg, axis_name,
+                                 block_q, block_k, interpret)
+    return out
+
+
+def _ring_flash_fwd(q, k, v, q_valid, q_seg, axis_name, block_q, block_k,
+                    interpret):
+    out, lse = _ring_flash_forward(q, k, v, q_valid, q_seg, axis_name,
+                                   block_q, block_k, interpret)
+    return out, (q, k, v, q_valid, q_seg, out, lse)
+
+
+def _ring_flash_bwd(axis_name, block_q, block_k, interpret, residuals, g):
+    """Backward ring: K/V shards (+labels +their dk/dv accumulators) rotate
+    past the fixed local (q, do, out, lse) while the Pallas backward kernels
+    produce each hop's exact contribution. After the n-1 rotations + the
+    merge-only epilogue, every shard's accumulated dk/dv sits ONE hop short
+    of its owner (mirroring the forward's saved epilogue rotation) — a
+    single final ppermute of the two grad buffers brings them home.
+    """
+    from merlot_reserve_tpu.ops.attention import _flash_backward
+
+    q, k, v, q_valid, q_seg, out, lse = residuals
+    n = lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    do = g.astype(jnp.float32)
+    # [B, Lq, H, 1] -> [B, H, 1, Lq] (the kernels' row-stat layout)
+    lse_bh = lse[..., 0].transpose(0, 2, 1)[:, :, None, :]
+
+    def hop(k_cur, v_cur, val_cur, seg_cur, dq_acc, dk_cur, dv_cur):
+        dq_t, dk_t, dv_t = _flash_backward(
+            q, k_cur, v_cur, do, out, lse_bh, q_valid, q_seg,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+            k_is_valid=val_cur, k_segment_ids=seg_cur)
+        return (dq_acc + dq_t.astype(jnp.float32),
+                dk_cur + dk_t.astype(jnp.float32),
+                dv_cur + dv_t.astype(jnp.float32))
+
+    def step(carry, _):
+        k_cur, v_cur, val_cur, seg_cur, dq_acc, dk_cur, dv_cur = carry
+        dq_acc, dk_cur, dv_cur = hop(k_cur, v_cur, val_cur, seg_cur,
+                                     dq_acc, dk_cur, dv_cur)
+        rotated = [lax.ppermute(x, axis_name, perm)
+                   for x in (k_cur, v_cur, val_cur, seg_cur, dk_cur, dv_cur)]
+        return (rotated[0], rotated[1], rotated[2], rotated[3],
+                dq_acc, rotated[4], rotated[5]), None
+
+    dq0, dk0, dv0 = (_pvary(jnp.zeros(a.shape, jnp.float32), axis_name, ref=q)
+                     for a in (q, k, v))
+    carry0 = (k, v, q_valid, q_seg, dq0, dk0, dv0)
+    carry, _ = lax.scan(step, carry0, None, length=n - 1)
+    k_l, v_l, val_l, seg_l, dq, dk, dv = carry
+    dq, dk, dv = hop(k_l, v_l, val_l, seg_l, dq, dk, dv)
+    dk = lax.ppermute(dk, axis_name, perm)
+    dv = lax.ppermute(dv, axis_name, perm)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None, None)
+
+
+_ring_flash.defvjp(_ring_flash_fwd, _ring_flash_bwd)
 
 
 def ulysses_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp",
@@ -275,11 +355,12 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
     inputs over ``axis_name`` and runs ring attention under shard_map.
 
     impl: 'lax' (differentiable, ppermute+scan online-softmax), 'flash'
-    (Pallas kernel per ring step with the permute overlapped; forward-only),
-    'rdma' (single Pallas kernel, in-kernel async remote DMA ring;
-    forward-only, VMEM-bounded shard size), or 'ulysses' /
-    'ulysses-flash' (all_to_all head sharding, differentiable with either
-    inner; needs num_heads % n == 0).
+    (Pallas kernel per ring step with the permute overlapped; differentiable
+    via a backward ring of the Pallas backward kernels), 'rdma' (single
+    Pallas kernel, in-kernel async remote DMA ring; forward-only,
+    VMEM-bounded shard size), or 'ulysses' / 'ulysses-flash' (all_to_all
+    head sharding, differentiable with either inner; needs
+    num_heads % n == 0).
     """
     from jax.sharding import PartitionSpec as P
 

@@ -145,6 +145,82 @@ def test_dp2_tp2_remat_matches_single_device(setup, cpu_devices):
     assert worst < 5e-3, worst
 
 
+def _flash_cfg(cfg, **model_overrides):
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model,
+                                       joint_attention_impl="flash:16:16",
+                                       **model_overrides))
+
+
+def _one_step_interpret(cfg, model, params, batch, mesh, zero1):
+    import merlot_reserve_tpu.ops.attention as attn_ops
+
+    attn_ops._FORCE_INTERPRET = True
+    try:
+        return _one_step(cfg, model, params, batch, mesh, zero1)
+    finally:
+        attn_ops._FORCE_INTERPRET = False
+
+
+def test_dp2_tp2_flash_joint_matches_single_device(setup, cpu_devices):
+    """flash joint x tp (support-matrix cell): the Pallas kernels run under
+    shard_map, batch-sharded over dp and HEAD-sharded over tp — matching the
+    Megatron qkv sharding, so q/k/v enter the kernel without resharding
+    (ops/attention.py::_flash_on_mesh; without it GSPMD replicates the
+    custom call). Losses and updated params must match the dense
+    single-device step."""
+    cfg, model, params, batch = setup
+    m1, p1 = _one_step(cfg, model, params, batch,
+                       make_mesh(dp=1, tp=1, devices=cpu_devices[:1]), False)
+    cfg_fl = _flash_cfg(cfg)
+    model_fl = type(model).from_config(cfg_fl)
+    mfl, pfl = _one_step_interpret(
+        cfg_fl, model_fl, params, batch,
+        make_mesh(dp=2, tp=2, devices=cpu_devices[:4]), True)
+    for k in m1:
+        assert abs(float(m1[k]) - float(mfl[k])) < 1e-4, (k, m1[k], mfl[k])
+    worst = max(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)))
+                for a, b in zip(jax.tree_util.tree_leaves(p1),
+                                jax.tree_util.tree_leaves(pfl)))
+    assert worst < 5e-3, worst
+
+
+def test_dp2_sp2_flash_joint_matches_single_device(setup, cpu_devices):
+    """flash joint x sp-GSPMD (support-matrix cell): under seq_shard_axis
+    the joint activations arrive seq-sharded; the flash shard_map keeps seq
+    UNsharded (softmax needs whole rows), so the boundary all-gathers seq —
+    the same traffic the dense GSPMD path pays. True seq-sharded flash is
+    ring:flash / ulysses:flash. Semantics must be unchanged."""
+    cfg, model, params, batch = setup
+    m1, _ = _one_step(cfg, model, params, batch,
+                      make_mesh(dp=1, tp=1, devices=cpu_devices[:1]), False)
+    cfg_fl = _flash_cfg(cfg, seq_shard_axis="sp")
+    model_fl = type(model).from_config(cfg_fl)
+    mfl, _ = _one_step_interpret(
+        cfg_fl, model_fl, params, batch,
+        make_mesh(dp=2, sp=2, devices=cpu_devices[:4]), True)
+    for k in m1:
+        assert abs(float(m1[k]) - float(mfl[k])) < 1e-4, (k, m1[k], mfl[k])
+
+
+def test_dp2_pp2_flash_joint_matches_single_device(setup, cpu_devices):
+    """flash joint x pp (support-matrix cell): inside the pipeline's
+    partial-manual region the flash wrapper detects the manual pp axis and
+    falls back to the plain kernel call (a nested shard_map over the auto
+    axes would conflict); the kernel still computes per-microbatch.
+    Losses must match the dense single-device step."""
+    cfg, model, params, batch = setup
+    m1, _ = _one_step(cfg, model, params, batch,
+                      make_mesh(dp=1, tp=1, devices=cpu_devices[:1]), False)
+    cfg_fl = _flash_cfg(cfg, pipeline_axis="pp", pipeline_microbatches=2)
+    model_fl = type(model).from_config(cfg_fl)
+    mfl, _ = _one_step_interpret(
+        cfg_fl, model_fl, params, batch,
+        make_mesh(dp=2, pp=2, devices=cpu_devices[:4]), True)
+    for k in m1:
+        assert abs(float(m1[k]) - float(mfl[k])) < 1e-4, (k, m1[k], mfl[k])
+
+
 import pytest  # noqa: E402
 
 # heavy tier: full-model / multi-device / subprocess tests
