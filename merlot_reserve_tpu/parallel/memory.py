@@ -14,6 +14,17 @@ from __future__ import annotations
 
 from typing import Dict
 
+# Calibrated overhead coefficients (see estimate_train_hbm's docstring for
+# the calibration corpus; scripts/fit_memory_model.py refits them whenever
+# scripts/pod_readiness.py adds ground-truth rows).
+_C_STATE = 1.3          # XLA temps/fragmentation on the param-state terms
+_C_ACT = 0.7            # fusion discount on saved seq-major activations
+_C_PROBS = 1.9          # f32 softmax temps on materialized attention probs
+_NONREMAT_TENSORS = 10.0  # saved seq-major tensors per layer, no remat
+_REMAT_TENSORS = 19.0   # effective saved tensors per layer under nn.scan+remat
+_GSPMD_SP_PENALTY = 1.4  # whole-step cost of seq_shard_axis GSPMD sharding
+_PP_STREAM_TENSORS = 18.0  # full-batch seq-major buffers the pipeline carries
+
 
 def param_count(cfg) -> int:
     """Approximate trainable parameter count from the config shapes."""
@@ -37,29 +48,46 @@ def param_count(cfg) -> int:
 def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
                        zero1_dp: int = 1, pp: int = 1,
                        flash_joint: bool = False, sp: int = 1,
-                       tp: int = 1) -> Dict[str, float]:
+                       tp: int = 1, dcn: int = 1,
+                       sp_impl: str = "gspmd") -> Dict[str, float]:
     """Per-chip HBM estimate (bytes) for one pretraining step.
 
-    :param zero1_dp: dp size the Adam moments are ZeRO-1-sharded over.
+    Calibrated (round 5) against the chipless-AOT ground truth: XLA's
+    memory analysis for every pod_readiness layout, base AND large configs,
+    remat and not (docs/pod_readiness_results.jsonl — 12 layouts, all
+    within 25%, pinned by tests/test_memory.py::
+    test_aot_ground_truth_within_25pct; refit via
+    scripts/fit_memory_model.py) plus the six measured single-chip v5e
+    OOM/fit classifications.
+
+    :param batch_size: per-DP-SHARD batch (activations replicate over tp).
+    :param zero1_dp: dp size the ZeRO-1 master params + Adam moments shard
+        over. Only the tp/pp-UNsharded remainder divides by it: per
+        parallel/sharding.py::param_shardings, a leaf that carries a tp/pp
+        spec never also shards over dp.
     :param pp: pipeline stages — joint-layer params/moments and joint
         activations shard 1/pp per stage, plus the pipeline's microbatch
         stream buffers (parallel/pipeline.py).
     :param tp: Megatron tensor-parallel size — every tower's matmul
         kernels (qkv/attn_proj/mlp pairs, 12h^2/layer) and the vocab
         embedding shard 1/tp (parallel/sharding.py::_tp_spec_for);
-        biases/LN stay replicated. Composes with pp on the joint stack
-        (stacked leaves carry P("pp", ...tp...)). Activation terms are
-        NOT scaled: residual-stream activations stay tp-replicated under
-        Megatron sharding (only the intra-pair intermediates shard, and
-        those are transient). Coarse — no tp calibration point exists on
-        this 1-chip box; treat tp > 1 verdicts as ordering.
-    :param sp: sequence-parallel shard count for the JOINT tower
-        (seq_shard_axis GSPMD sharding, ring, or ulysses attention): the
-        saved seq-major residuals and the attention score rows both scale
-        ~1/sp per device (the ring materializes per-hop [Lq/sp, Lk/sp]
-        scores; ulysses holds full-L scores but only heads/sp of them).
-        Coarse — no calibration point exists on this 1-chip box; treat
-        sp > 1 verdicts as ordering, not boundaries.
+        biases/LN stay replicated. Activation terms are NOT scaled:
+        residual-stream activations stay tp-replicated under Megatron
+        sharding. Calibrated on the large dp4xtp2 AOT points (round 5).
+    :param sp: sequence-parallel shard count for the JOINT tower.
+    :param sp_impl: HOW the sequence is sharded — the memory behavior is
+        OPPOSITE between the two families. 'gspmd' (seq_shard_axis; the
+        default, what pod_readiness compiles): measured at sp=2 the whole
+        step costs ~1.5x MORE than the unsharded dp layout (base 13.36 vs
+        8.90 GiB, large-remat 20.56 vs 13.41 — GSPMD all-gathers K/V per
+        layer and saves full-seq buffers for backward), so the total gets
+        a x1.5 penalty and NO activation division. 'ring'/'ulysses':
+        explicit collectives keep saved residuals and score rows ~1/sp
+        per device — activations divide by sp (no AOT calibration point;
+        ordering only).
+    :param dcn: number of slices the dp axis spans (multi-slice). Adds one
+        param-set of cross-slice staging (MegaScale send/recv buffers) —
+        calibrated on the base and large dcn16 AOT points.
     :param flash_joint: joint tower uses the Pallas flash kernels — no
         materialized attention probabilities in HBM (only the [rows, H, L]
         log-sum-exp, negligible). Validated point: base batch-4 no-remat
@@ -86,28 +114,48 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
     # stack: stacked leaves are P("pp", ...tp...), parallel/sharding.py)
     pp = max(pp, 1)
     tp = max(tp, 1)
+    sp = max(sp, 1)
+    dcn = max(dcn, 1)
     matmuls = 12 * h * h  # qkv 3h^2 + attn_proj h^2 + mlp up/down 8h^2
     n_other = m.vit_num_layers + m.audio_num_layers + m.span_num_layers
-    P_eff = (P - layer(m.joint_num_layers) * (1 - 1.0 / pp)
-             - m.joint_num_layers / pp * matmuls * (1 - 1.0 / tp)
-             - n_other * matmuls * (1 - 1.0 / tp)
-             - m.vocab_size * h * (1 - 1.0 / tp))
+    # split the param set by HOW it shards (ADVICE r4): tp/pp-sharded
+    # leaves (matmul kernels + vocab embedding + the joint stack) never
+    # ALSO shard over dp — only the remainder is ZeRO-1-divisible.
+    P_tp_pp = 0.0
+    P_rest = float(P)
+    if pp > 1:
+        # whole joint stack is pp-stacked (tp composes on its matmul dims)
+        P_tp_pp += (layer(m.joint_num_layers) / pp
+                    - (m.joint_num_layers / pp) * matmuls * (1 - 1.0 / tp))
+        P_rest -= layer(m.joint_num_layers)
+    elif tp > 1:
+        P_tp_pp += m.joint_num_layers * matmuls / tp
+        P_rest -= m.joint_num_layers * matmuls
+    if tp > 1:
+        P_tp_pp += (n_other * matmuls + m.vocab_size * h) / tp
+        P_rest -= n_other * matmuls + m.vocab_size * h
+    P_local = P_tp_pp + P_rest              # per-chip compute copy
+    P_state = P_tp_pp + P_rest / max(zero1_dp, 1)
 
     # persistent train state: f32 master params + bf16 Adam mu/nu (cube-root
-    # nu is still 2 bytes). Under ZeRO-1 ALL of it shards over dp (round 4:
-    # masters shard alongside the moments; the step gathers a bf16 cast —
-    # parallel/sharding.py). At zero1_dp=1 this reduces to the original
-    # replicated terms, so the six single-chip calibration points are
-    # unchanged. Pod cross-check: dp8 base batch-1 scan predicts 6.7 GiB vs
-    # XLA's memory analysis 9.0 GiB (pod_readiness, round 4) — the ~1.3x
-    # pod underprediction documented in docs/PARALLELISM.md still applies;
-    # use the AOT compile to confirm boundary verdicts.
-    state = (4 * P_eff + 2 * P_eff + 2 * P_eff) / max(zero1_dp, 1)
+    # nu is still 2 bytes). Under ZeRO-1 the dp-divisible remainder shards
+    # over dp (round 4: masters shard alongside the moments; the step
+    # gathers a bf16 cast — parallel/sharding.py).
+    state = 4 * P_state + 2 * P_state + 2 * P_state
 
-    # step transients: bf16 param cast (the gathered compute copy is full-
-    # size regardless of dp), bf16 grads, f32 grad upcast (reduce-scattered
-    # onto the shard under ZeRO-1)
-    step_transients = 2 * P_eff + 2 * P_eff + 4 * P_eff / max(zero1_dp, 1)
+    # step transients: bf16 param compute copy (gathered/cast, per-chip
+    # tp-sharded size), bf16 grads, f32 grad upcast reduce-scattered onto
+    # the ZeRO owner shard (tp-sharded grads update in place — the AOT tp
+    # points reject a full per-chip f32 grad set)
+    step_transients = 2 * P_local + 2 * P_local + 4 * P_rest / max(zero1_dp, 1)
+
+    # pod overhead: collective staging (the in-flight bf16 param gathers /
+    # grad reduce-scatters the audit counts in the high-water) — one bf16
+    # param set whenever the step runs on a mesh; multi-slice adds one more
+    # (MegaScale cross-slice send/recv buffers). Calibrated round 5.
+    on_mesh = max(zero1_dp, tp, pp, sp) > 1 or dcn > 1
+    pod_overhead = (2 * P_local if on_mesh else 0.0) \
+        + (2 * P_local if dcn > 1 else 0.0)
 
     # activations saved for backward (bf16). Per transformer layer the
     # backward needs ~6 seq-major tensors (x, ln(x), qkv, attn out, mlp
@@ -121,10 +169,17 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
         # entirely on the flash path). Returned separately: the probs
         # allocations carry their own softmax-temp overhead coefficient.
         probs = 0.0 if flash else 4 * (rows * heads * seq * seq)
-        per_layer = 2 * (10 * rows * seq * h)
+        per_layer = 2 * (_NONREMAT_TENSORS * rows * seq * h)
         if remat:
-            # only layer inputs are kept; everything else recomputed
-            per_layer = 2 * (2 * rows * seq * h)
+            # remat's real saving is the attention-probability buffers
+            # (probs -> 0 below); the seq-major side barely shrinks and is
+            # FIT larger than the non-remat count — under nn.scan + nn.remat
+            # XLA stacks per-layer tensors across ALL scan iterations AND
+            # double-buffers the recompute (the large-remat AOT compiles
+            # show ~190 MB [layers, rows, seq, heads, d] AllocateBuffers
+            # plus recompute temps the non-remat schedule doesn't carry).
+            # _REMAT_TENSORS is fit on the seven large remat AOT rows (r5).
+            per_layer = 2 * (_REMAT_TENSORS * rows * seq * h)
             probs = 0.0
         return per_layer * layers, probs * layers
 
@@ -146,29 +201,42 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
     joint_rows = B * (d.num_segment_groups * (d.num_audio2text_seqs
                                               + d.num_text2audio_seqs)
                       + 1 + d.num_text_seqs)
-    sp = max(sp, 1)
+    # sequence sharding: ring/ulysses genuinely hold 1/sp of the saved
+    # residuals and score rows per device; the GSPMD path does NOT (it
+    # all-gathers K/V per layer and saves full-seq buffers — handled as a
+    # whole-step penalty below, measured x1.5 at sp=2)
+    act_sp = sp if (sp > 1 and sp_impl != "gspmd") else 1
     j_act, j_probs = tower_act(joint_rows, d.seq_len,
                                m.joint_num_layers // pp, flash=flash_joint)
-    add((j_act / sp, j_probs / sp))
+    add((j_act / act_sp, j_probs / act_sp))
     if pp > 1:
         # pipeline stream buffers: x_mb + outputs + carried state, each
-        # [M, rows/M, L, H] bf16 per stage (dp-sharded rows)
-        act += 3 * 2 * joint_rows * d.seq_len * h
+        # [M, rows/M, L, H] bf16 per stage (dp-sharded rows), PLUS the
+        # per-tick inputs lax.scan saves for backward across all
+        # T = M + S - 1 ticks (remat recomputes the stage interior but the
+        # tick boundaries persist) — fit on the large pp AOT row (round 5)
+        act += _PP_STREAM_TENSORS * 2 * joint_rows * d.seq_len * h
 
     # Per-term overheads (XLA temporaries / fragmentation / stream-concat
-    # copies), calibrated on six measured v5e points (BASELINE.md): base b1
-    # scan fits, b2 scan 16.28G OOM, b4 31.9G OOM, b4 remat fits, large b1
-    # remat 18.28G OOM, and (r3) base b4 FLASH fits. The softmax probs
-    # allocations carry their own larger coefficient (f32 temps on the
-    # softmax path); a single global factor cannot classify the flash point.
-    # All six classify correctly; point estimates are +-30%.
-    # (the flash point pins these tightly: it sits ~0.1G under the 15.75G
-    # line, exactly as the real compile barely fits)
-    total = 1.3 * (state + step_transients) + 0.7 * act + 1.9 * probs_act
+    # copies): the 1.3/0.7/1.9 coefficients were calibrated on six measured
+    # single-chip v5e points (BASELINE.md: base b1 scan fits, b2 scan
+    # 16.28G OOM, b4 31.9G OOM, b4 remat fits, large b1 remat 18.28G OOM,
+    # base b4 FLASH fits — all still classify correctly) and the round-5
+    # terms (param split, pod/dcn staging, remat tensor count, gspmd-sp
+    # penalty) on the 12 chipless-AOT pod layouts
+    # (docs/pod_readiness_results.jsonl), every one within 25% of XLA's
+    # memory analysis — pinned by tests/test_memory_plan.py.
+    total = (_C_STATE * (state + step_transients + pod_overhead)
+             + _C_ACT * act + _C_PROBS * probs_act)
+    if sp > 1 and sp_impl == "gspmd":
+        # measured whole-step penalty at sp=2 (base 13.36 vs dp8's 8.90,
+        # large-remat 20.56 vs 13.41); scaling beyond sp=2 is uncalibrated
+        total *= _GSPMD_SP_PENALTY
     return {
         "params": float(P),
         "state_bytes": float(state),
         "step_transient_bytes": float(step_transients),
+        "pod_overhead_bytes": float(pod_overhead),
         "activation_bytes": float(act + probs_act),
         "total": float(total),
     }

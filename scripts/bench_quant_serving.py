@@ -14,7 +14,8 @@ actually is. Whatever the outcome, it gets recorded in BASELINE.md.
 Timing: chained-iteration methodology (see bench.py / CLAUDE.md) — N
 invocations data-chained inside one jit, report (t(N)-t(1))/(N-1).
 
-Usage: python scripts/bench_quant_serving.py [--videos 1] [--chain 8]
+Usage: python scripts/bench_quant_serving.py [--config base|large]
+           [--videos 1] [--chain 8]
 """
 
 import argparse
@@ -43,6 +44,8 @@ def _quantize_leaf(a: np.ndarray):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="base", choices=["base", "large"],
+                    help="model scale (large inference fits one v5e chip)")
     ap.add_argument("--videos", type=int, default=1)
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--skip_f32", action="store_true")
@@ -59,7 +62,7 @@ def main():
 
     # scan_layers keeps the relay compiles ~1 layer's worth; both arms of
     # every A/B run under the same layout so deltas are fair
-    cfg = mr.load_config("base", use_bfloat16=True, scan_layers=True)
+    cfg = mr.load_config(args.config, use_bfloat16=True, scan_layers=True)
     model = MerlotReserve.from_config(cfg)
     grid = tuple(cfg.model.output_grid)
 
@@ -171,6 +174,7 @@ def main():
     results["weight_bytes_bf16_mb"] = bf_bytes / 1e6
     results["weight_bytes_int8_mb"] = q_bytes / 1e6
     results["videos"] = B
+    results["config"] = args.config
     results["int8_speedup_vs_bf16"] = results["bf16_ms"] / results["int8_ms"]
     print(json.dumps(results))
 

@@ -88,7 +88,18 @@ def compile_layout(name, cfg, mesh, batch_np, slice_size=None):
                      out_shardings=(s_sh, NamedSharding(mesh, P())),
                      donate_argnums=(0,))
     with activate_mesh(mesh):
-        compiled = jitted.lower(state_sds, batch_sds).compile()
+        lowered = jitted.lower(state_sds, batch_sds)
+        try:
+            compiled = lowered.compile()
+        except Exception as e:  # OOM verdicts are results, not crashes
+            import re
+
+            m = re.search(r"Used ([0-9.]+[GM]) of ([0-9.]+[GM]) hbm", str(e))
+            if not m:
+                raise
+            return {"layout": name,
+                    "compile": f"OOM ({m.group(1)} of {m.group(2)})",
+                    "hbm_used_gib": float(m.group(1).rstrip("GM"))}
 
     ma = compiled.memory_analysis()
     hlo = compiled.as_text()
@@ -137,7 +148,7 @@ def main():
     ap.add_argument("--layouts",
                     default="dp8,dp4xsp2,dp2pp2tp2,dcn16",
                     help="comma list of dp8,dp4xsp2,dp4xtp2,dp2pp2tp2,"
-                         "dp16,dcn16,dp64")
+                         "dp16,dcn16,dcn16tp2,dp64")
     args = ap.parse_args()
 
     import jax
@@ -165,7 +176,7 @@ def main():
         return mr.load_config(args.config, **{**base_overrides, **kw})
 
     def run(name, cfg, mesh, n_chips, global_batch, sp=1, pp=1, tp=1,
-            slice_size=None, zero1_dp=None, plan_batch=None):
+            slice_size=None, zero1_dp=None, plan_batch=None, dcn=1):
         batch = make_dummy_batch(cfg, batch_size=global_batch, seed=0,
                                  num_text_spans=cfg.data.num_text_spans_to_include)
         rec = compile_layout(name, cfg, mesh, batch, slice_size=slice_size)
@@ -175,7 +186,7 @@ def main():
         plan = estimate_train_hbm(cfg, plan_batch or global_batch // n_chips,
                                   remat=args.remat,
                                   zero1_dp=zero1_dp or n_chips,
-                                  sp=sp, pp=pp, tp=tp)
+                                  sp=sp, pp=pp, tp=tp, dcn=dcn)
         rec["planner_total_gib"] = round(plan["total"] / 2**30, 3)
         # recorded from the layout's ACTUAL compiled configuration, not the
         # shared CLI flags (they can differ: dp2pp2tp2 forces scan and
@@ -232,7 +243,18 @@ def main():
         mesh = make_mesh(dp=16, devices=list(topo("v5e:2x4", 2).devices),
                          dcn_dp=2)
         run("dp16 dcn_dp=2 (2x v5e:2x4)", cfg, mesh, 16,
-            global_batch=16 * bpc, slice_size=8, zero1_dp=8)
+            global_batch=16 * bpc, slice_size=8, zero1_dp=8, dcn=2)
+
+    if "dcn16tp2" in wanted:
+        # multi-slice x Megatron: dp4 x tp2 per slice, dcn2 across — the
+        # large-model cross-slice shape (dcn16 at large batch 1 lands 0.3G
+        # over the v5e line; tp2 is the headroom axis that brings it back)
+        cfg = load()
+        mesh = make_mesh(dp=8, tp=2, devices=list(topo("v5e:2x4", 2).devices),
+                         dcn_dp=2)
+        run("dp8xtp2 dcn_dp=2 (2x v5e:2x4)", cfg, mesh, 16,
+            global_batch=8 * bpc, slice_size=8, tp=2, zero1_dp=4,
+            plan_batch=bpc, dcn=2)
 
     if "dp64" in wanted:
         cfg = load()

@@ -51,9 +51,36 @@ def test_flash_and_pp_terms():
     e1 = estimate_train_hbm(cfg, 2)["total"]
     e2 = estimate_train_hbm(cfg, 2, pp=2)["total"]
     assert e2 < e1
-    # sp shards joint activations AND score rows; reduces, less than flash
-    e_sp = estimate_train_hbm(cfg, 4, sp=2)["total"]
-    assert e_sp < estimate_train_hbm(cfg, 4)["total"]
-    # sp=2 halves probs, flash removes them entirely at equal act sharing
-    assert estimate_train_hbm(cfg, 4, sp=1, flash_joint=True)["total"] < \
-        estimate_train_hbm(cfg, 4, sp=2)["total"]
+    # GSPMD seq sharding (the seq_shard_axis path) COSTS memory — measured
+    # x1.5 at sp=2 on the AOT points (base 13.36 vs dp8's 8.90 GiB) — while
+    # ring/ulysses sequence parallelism genuinely shards the saved
+    # residuals and score rows
+    e_dense = estimate_train_hbm(cfg, 4)["total"]
+    assert estimate_train_hbm(cfg, 4, sp=2)["total"] > e_dense
+    e_ring = estimate_train_hbm(cfg, 4, sp=2, sp_impl="ring")["total"]
+    assert e_ring < e_dense
+    # ring sp=2 halves probs; flash removes them entirely
+    assert estimate_train_hbm(cfg, 4, sp=1, flash_joint=True)["total"] < e_ring
+
+
+def test_aot_ground_truth_within_25pct():
+    """Round-5 calibration contract: the planner must land within 25% of
+    XLA's memory analysis on EVERY chipless-AOT pod layout recorded in
+    docs/pod_readiness_results.jsonl (base + large, remat and not, with
+    sp/tp/pp/dcn axes — regenerate rows with scripts/pod_readiness.py)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "pod_readiness_results.jsonl")
+    rows = [json.loads(l) for l in open(path) if l.strip()]
+    assert len(rows) >= 12
+    for r in rows:
+        cfg = mr.load_config(r["config"])
+        est = estimate_train_hbm(
+            cfg, r["batch"], remat=r["remat"], zero1_dp=r["zero1_dp"],
+            sp=r["sp"], tp=r["tp"], pp=r["pp"], dcn=r["dcn"])
+        got = est["total"] / 2**30
+        err = abs(got - r["measured_gib"]) / r["measured_gib"]
+        assert err <= 0.25, (r["name"], round(got, 2), r["measured_gib"],
+                             round(err, 3))
