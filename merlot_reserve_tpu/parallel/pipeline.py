@@ -66,14 +66,17 @@ def _partial_shard_map(fn, mesh, in_specs, out_specs, manual_axis):
     """shard_map with ONLY ``manual_axis`` manual; every other mesh axis
     stays auto (GSPMD-sharded inside the region). JAX >= 0.9 spells this
     ``axis_names=``; older versions spell the complement ``auto=``."""
-    if hasattr(jax, "shard_map"):
-        try:
-            return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                                 out_specs=out_specs,
-                                 axis_names=frozenset({manual_axis}),
-                                 check_vma=False)
-        except TypeError:  # pre-axis_names signature
-            pass
+    import inspect
+
+    if hasattr(jax, "shard_map") and \
+            "axis_names" in inspect.signature(jax.shard_map).parameters:
+        # detect support explicitly: a blanket try/except TypeError would
+        # swallow genuine spec errors and reroute them into the legacy
+        # module (removed in newer JAX) as a confusing ImportError
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs,
+                             axis_names=frozenset({manual_axis}),
+                             check_vma=False)
     from jax.experimental.shard_map import shard_map
 
     return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -131,6 +134,14 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
     # dynamic-slice/select (provenance-erasing ops — without the anchor
     # GSPMD replicates the microbatch over dp and sp, the pre-r4 behavior).
     act_anchor = P(bax, sp, None)
+    # per-slot anchors for the sliced microbatch args: sinusoids
+    # [B/M, 2, L, rh] and attention_bias [B/M, heads?, L, L] carry the
+    # QUERY seq dim at -2 (bias keys stay full-L: dense attention inside
+    # the region all-gathers K anyway); labels [B/M, L] at -1. Without
+    # these, the dynamic_index_in_dim slice erases provenance and GSPMD
+    # may replicate a [B/M, ., L, L] bias over dp x sp every tick.
+    arg_anchors = (P(bax, None, sp, None), P(bax, sp), P(bax, sp),
+                   P(bax, None, sp, None))
 
     def mb(t):
         return None if t is None else t.reshape((M, B // M) + t.shape[1:])
@@ -181,7 +192,11 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
 
             inp = jnp.where(stage == 0, idx(x_mb), state)
             inp = lax.with_sharding_constraint(inp, act_anchor)
-            y = run_local(inp, tuple(idx(a) for a in args_mb))
+            args_t = tuple(
+                None if a is None
+                else lax.with_sharding_constraint(idx(a), anch)
+                for a, anch in zip(args_mb, arg_anchors))
+            y = run_local(inp, args_t)
             y = lax.with_sharding_constraint(y, act_anchor)
 
             write = (m >= 0) & (m < M) & (stage == S - 1)
@@ -191,8 +206,14 @@ def pipeline_transformer(stacked_params, x, sinusoids=None, is_valid=None,
             state = lax.ppermute(y, axis, [(i, (i + 1) % S) for i in range(S)])
             return (state, outputs), None
 
-        state0 = _pvary(jnp.zeros_like(x_mb[0]), axis)
-        outputs0 = _pvary(jnp.zeros_like(x_mb), axis)
+        # anchor the scan-carried buffers too: the [M, B/M, L, H] outputs
+        # stream and the stage hand-off state have no sharding provenance
+        # of their own (zeros_like erases it), and an unanchored 4-D
+        # buffer silently replicates over dp/sp inside the region
+        state0 = lax.with_sharding_constraint(
+            _pvary(jnp.zeros_like(x_mb[0]), axis), act_anchor)
+        outputs0 = lax.with_sharding_constraint(
+            _pvary(jnp.zeros_like(x_mb), axis), P(None, bax, sp, None))
         (state, outputs), _ = lax.scan(tick, (state0, outputs0),
                                        jnp.arange(T))
         # outputs live on the last stage; replicate for the P() out_spec

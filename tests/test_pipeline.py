@@ -132,6 +132,29 @@ def test_pipeline_seq_sharding_propagates_inside(encoder_setup, cpu_devices):
     assert "f32[2,16,32]" not in hlo, (
         "full-seq microbatch activations materialized inside the pipeline "
         "region — sp propagation regressed")
+    # the scan-carried 4-D outputs stream [M, B/M, L, H] must be sp-sharded
+    # too (it is explicitly anchored since r5 — a zeros-initialized buffer
+    # has no sharding provenance and used to escape the 3-D substring check).
+    # Checked at B=8 (M=2 -> stream [2,4,L,32]) so the shape cannot collide
+    # with the stacked attn_proj weights [2,2,16,32].
+    x8 = jnp.concatenate([x, x])
+    coords8 = jnp.concatenate([coords, coords])
+    valid8 = jnp.concatenate([is_valid, is_valid])
+    seg8 = jnp.concatenate([seg, seg])
+
+    def f8(p, x):
+        return enc_pp.apply({"params": p}, x, rotary_coords=coords8,
+                            is_valid=valid8, segment_ids=seg8)["seq"]
+
+    with activate_mesh(mesh):
+        jitted8 = jax.jit(f8)
+        hlo8 = jitted8.lower(params, x8).compile().as_text()
+        out8 = jitted8(params, x8)
+    assert float(jnp.abs(out8 - jnp.concatenate([ref, ref])).max()) < 2e-5
+    assert "f32[2,4,8,32]" in hlo8
+    assert "f32[2,4,16,32]" not in hlo8, (
+        "full-seq 4-D microbatch stream buffer materialized inside the "
+        "pipeline region — outputs0/state0 anchoring regressed")
 
 
 def test_pipeline_tensor_parallel_inside_stage(encoder_setup, cpu_devices):
