@@ -21,6 +21,10 @@ from both processes, so the process-local slice IS the full batch).
 layout 'ulysses4x2' / 'sp4x2': same interleaved dp=4 x sp=2 mesh with
 joint_attention_impl='ulysses' (cross-process all_to_alls) / plain GSPMD
 sequence sharding (cross-process K/V all-gathers).
+layout 'pp4x2': dp=4 x pp=2 mesh, interleaved so every pipeline-stage
+hand-off (the GPipe ppermute in parallel/pipeline.py's partial-manual
+region) crosses the process boundary; the joint stack runs pipelined with
+2 microbatches.
 """
 
 import json
@@ -155,6 +159,24 @@ def main():
 
         def local_batches(n):
             # every dp row is addressable from both processes (its sp pair
+            # has one device in each) -> the local slice is the full batch
+            for i in range(n):
+                yield make_dummy_batch(cfg, batch_size=8, seed=i,
+                                       num_text_spans=16)
+    elif layout == "pp4x2":
+        import dataclasses as dc
+
+        # GPipe ACROSS the process boundary: the interleaved order puts
+        # each pp stage pair in different processes, so every microbatch
+        # hand-off ppermute (and every dp grad-psum pair) crosses hosts
+        cfg = dc.replace(cfg, model=dc.replace(
+            cfg.model, pipeline_axis="pp", pipeline_microbatches=2))
+        devs = sorted(jax.devices(), key=lambda d: d.id)
+        order = [devs[i] for i in (0, 4, 1, 5, 2, 6, 3, 7)]
+        mesh = make_mesh(dp=4, pp=2, devices=order)
+
+        def local_batches(n):
+            # every dp row is addressable from both processes (its pp pair
             # has one device in each) -> the local slice is the full batch
             for i in range(n):
                 yield make_dummy_batch(cfg, batch_size=8, seed=i,

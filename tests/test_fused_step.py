@@ -125,6 +125,50 @@ def test_fused_step_tp_sp_matches_dp(cfg, corpus):
         assert abs(float(m_dp[k]) - float(m3[k])) < 1e-4, (k, m_dp[k], m3[k])
 
 
+@pytest.mark.parametrize("impl", ["ring", "ulysses"])
+def test_fused_step_ring_ulysses_matches_dp(cfg, corpus, impl):
+    """fused data+train step x ring / x ulysses (support-matrix cells):
+    in-graph example assembly feeding a joint tower whose attention runs as
+    explicit sequence-parallel collectives (ppermute ring / head-swap
+    all_to_alls, ops/ring_attention.py) on a dp2 x sp2 mesh must reproduce
+    the plain-dp fused metrics (same data_seed -> same in-graph batch)."""
+    import dataclasses
+
+    loader = _raw_loader(cfg, corpus)
+    raw_batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+    builder = loader._dev_builder
+
+    model = MerlotReservePretrainer.from_config(cfg)
+    raw0 = dict(jax.device_get(raw_batch))
+    images = raw0.pop("images")
+    b0 = dict(jax.device_get(builder.build_batch(
+        jax.random.PRNGKey(7), jax.tree.map(jnp.asarray, raw0))))
+    b0["images"] = images
+    params = model.init_params(b0)
+
+    state = construct_train_state(cfg.optimizer, model, params)
+    mesh_dp = make_mesh(dp=2, devices=jax.devices("cpu")[:2])
+    fused_dp, st_dp = make_jit_fused_data_train_step(mesh_dp, state, builder,
+                                                     data_seed=7,
+                                                     donate=False)
+    _, m_dp = fused_dp(st_dp, raw_batch)
+
+    cfg_sp = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, seq_shard_axis="sp",
+                                       joint_attention_impl=impl))
+    model_sp = MerlotReservePretrainer.from_config(cfg_sp)
+    params2 = jax.tree.map(np.array, params)
+    state2 = construct_train_state(cfg_sp.optimizer, model_sp, params2)
+    mesh_sp = make_mesh(dp=2, sp=2, devices=jax.devices("cpu")[:4])
+    fused_sp, st_sp = make_jit_fused_data_train_step(mesh_sp, state2, builder,
+                                                     data_seed=7,
+                                                     donate=False)
+    _, m_sp = fused_sp(st_sp, raw_batch)
+
+    for k in m_dp:
+        assert abs(float(m_dp[k]) - float(m_sp[k])) < 1e-4, (k, m_dp[k], m_sp[k])
+
+
 def test_fused_step_pp_matches_dp(cfg, corpus):
     """fused data+train step x pp: in-graph assembly feeding the pipelined
     joint stack (partial-manual shard_map region) matches plain dp."""

@@ -147,13 +147,15 @@ def test_two_process_ring_attention_crosses_hosts(tmp_path):
         f"cross-host ring {mp_logged} vs single-process dense {logged}")
 
 
-@pytest.mark.parametrize("layout", ["ulysses4x2", "sp4x2"])
+@pytest.mark.parametrize("layout", ["ulysses4x2", "sp4x2", "pp4x2"])
 def test_two_process_sequence_parallel_crosses_hosts(tmp_path, layout):
     """The other two sequence-parallel strategies across the process
     boundary (support-matrix multi-host x ulysses / x sp cells):
     'ulysses4x2' routes the head-swap all_to_alls cross-process, 'sp4x2'
-    the GSPMD K/V all-gathers. Same interleaved dp=4 x sp=2 mesh as the
-    ring test; losses must match the single-process dp=8 dense baseline."""
+    the GSPMD K/V all-gathers — plus 'pp4x2' (multi-host x pp cell): the
+    GPipe stage hand-off ppermutes cross the process boundary on an
+    interleaved dp=4 x pp=2 mesh. Losses must match the single-process
+    dp=8 dense baseline."""
     port = _free_port()
     outs = [str(tmp_path / f"{layout}_loss_{i}.json") for i in range(2)]
     env = dict(os.environ)
