@@ -269,6 +269,17 @@ def opt_state_shardings(mesh: Mesh, opt_state, zero1: bool = True) -> Any:
             if spec != P():
                 # moments of pipeline-stage layers live with their stage
                 return NamedSharding(mesh, spec)
+        if tp_size > 1:
+            spec = _tp_spec_for(path, leaf)
+            if spec != P():
+                # moments of Megatron-sharded leaves live WITH the shard:
+                # misaligned (dp-only) moments force the partitioner to
+                # reshard f32 master-sized buffers through the optimizer
+                # update every step — the round-5 large dp4xtp2 AOT audit
+                # showed 192 MiB f32[24,512,4096] all-gathers that vanish
+                # once moment and master shardings agree (same precedence
+                # as param_shardings: pp -> tp -> zero1-dp)
+                return NamedSharding(mesh, spec)
         if not zero1 or dp_size == 1:
             return NamedSharding(mesh, P())
         return NamedSharding(mesh, _zero1_spec_for(path, leaf, dp_size))

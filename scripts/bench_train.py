@@ -4,6 +4,14 @@ one jit; per-step = (t(N)-t(1))/(N-1); best-of-3 timings): full base
 config, all four streams, bf16-Adam.
 
 Usage: python scripts/bench_train.py [--remat] [--remat_policy=dots_saveable] [batch ...]
+
+Long-video mode (round 5, VERDICT item 7): ``--segments=N`` scales the
+DATA shapes to an N-segment video — joint seq becomes
+lang_seq_len + (N / num_segment_groups) * (grid_hw / pooling^2)
+(e.g. --segments=80 -> L = 160 + 40*60 = 2560, four times the reference's
+hard 1024 cap, /root/reference/pretrain/train_fixres.py:87). The joint
+attention impl defaults to 'auto' = the Pallas flash kernels at L >= 2048;
+pass --joint_attn=xla for the dense arm of the A/B.
 """
 
 import json
@@ -34,6 +42,10 @@ def main():
             config_name = a.split("=")[1]
         if a.startswith("--joint_attn="):
             joint_attn = a.split("=", 1)[1]
+    tower_attn = None  # e.g. --attn=flash:128:128 (vision/audio/span towers)
+    for a in args:
+        if a.startswith("--attn="):
+            tower_attn = a.split("=", 1)[1]
     batch_sizes = [int(a) for a in args if not a.startswith("--")] or [1, 2]
     n_chain = int(os.environ.get("BENCH_CHAIN", "8"))
 
@@ -50,10 +62,24 @@ def main():
     from merlot_reserve_tpu.training.trainer import make_jit_train_step, train_step
     from merlot_reserve_tpu.utils.profiling import device_peak_flops
 
+    segments = None
+    for a in args:
+        if a.startswith("--segments="):
+            segments = int(a.split("=")[1])
+
     cfg = mr.load_config(config_name, gradient_checkpoint=remat,
                          gradient_checkpoint_policy=remat_policy,
                          scan_layers=not unroll, scan_unroll=scan_unroll,
-                         joint_attention_impl=joint_attn)
+                         joint_attention_impl=joint_attn,
+                         **({"attention_impl": tower_attn} if tower_attn
+                            else {}))
+    if segments is not None:
+        d, m = cfg.data, cfg.model
+        per_seg = (m.output_grid[0] * m.output_grid[1]) // (m.vit_pooling_ratio ** 2)
+        seq = d.lang_seq_len + (segments // d.num_segment_groups) * per_seg
+        cfg = cfg.replace_data(num_segments=segments, seq_len=seq)
+        print(f"# long-video: {segments} segments -> joint seq {seq}",
+              file=sys.stderr)
     n_spans = cfg.data.num_text_spans_to_include
 
     pre = MerlotReservePretrainer.from_config(cfg)

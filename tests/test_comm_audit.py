@@ -129,7 +129,8 @@ def test_ulysses_emits_all_to_alls_no_permutes(sp_mesh):
 
 
 @pytest.mark.slow
-def test_zero1_param_traffic_is_bf16():
+@pytest.mark.parametrize("layout", ["dp8", "dp4xtp2"])
+def test_zero1_param_traffic_is_bf16(layout):
     """ZeRO-1 wire contract on the REAL TPU compiler (chipless AOT topology
     — the XLA:CPU partitioner fuses the f32->bf16->f32 convert pair
     shard-local and gathers f32, hiding the dtype win, so this contract
@@ -138,7 +139,14 @@ def test_zero1_param_traffic_is_bf16():
     contain no param-scale f32 all-gather (the replicated-master design
     reassembled the full f32 param set every step: ~1.35 GiB at base on
     dp8, found by the round-4 pod audit), while bf16 all-gathers cover at
-    least one full param set."""
+    least one full param set.
+
+    The dp4xtp2 layout pins the round-5 fix: moments of Megatron-sharded
+    leaves must carry the SAME tp spec as their masters
+    (parallel/sharding.py::opt_state_shardings) — misaligned (dp-only)
+    moments made the partitioner reshard f32 master-sized buffers through
+    the optimizer update (192 MiB f32 all-gathers on the large dp4xtp2
+    AOT compile)."""
     try:
         from jax.experimental import topologies
         topo = topologies.get_topology_desc(platform="tpu",
@@ -170,7 +178,8 @@ def test_zero1_param_traffic_is_bf16():
     state = jax.eval_shape(
         lambda p: construct_train_state(cfg.optimizer, model, p), params)
 
-    mesh = make_mesh(dp=8, devices=list(topo.devices))
+    mesh = (make_mesh(dp=8, devices=list(topo.devices)) if layout == "dp8"
+            else make_mesh(dp=4, tp=2, devices=list(topo.devices)))
     s_sh = state_shardings(mesh, state, zero1=True)
     b_sh = batch_sharding(mesh)
     state_sds = jax.tree.map(
@@ -195,7 +204,11 @@ def test_zero1_param_traffic_is_bf16():
     # f32 gathers may exist for small non-dp-shardable leaves / metrics,
     # but nothing near a full param reassembly
     assert ag_f32 < 0.2 * param_bytes_f32, (ag_f32, param_bytes_f32)
-    assert ag_bf16 >= 0.8 * (param_bytes_f32 // 2), (ag_bf16, param_bytes_f32)
+    # under tp only the non-tp-sharded remainder is ZeRO-gathered; still
+    # expect a meaningful bf16 gather volume and no f32 reassembly
+    min_bf16 = 0.8 if layout == "dp8" else 0.3
+    assert ag_bf16 >= min_bf16 * (param_bytes_f32 // 2), (
+        ag_bf16, param_bytes_f32)
 
 
 @pytest.mark.slow
