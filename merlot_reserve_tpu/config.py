@@ -86,6 +86,15 @@ class ModelConfig:
     # (large models / long sequences) — base scale should stay no-remat
     # (BASELINE.md).
     gradient_checkpoint_policy: "str | None" = None
+    # Remat the vision/audio/span MODALITY towers (gradient_checkpoint
+    # covers only the joint tower). The long-video lever: tower activations
+    # scale with segments/video, and at 80 segments the vision tower's
+    # scan-stacked saves ([12, B*80, 241, 3072] MLP hiddens + probs) are
+    # ~14G of the 21.3G single-chip OOM while the joint tower is ~3G
+    # (BASELINE.md "long-video recipe"). Shares
+    # gradient_checkpoint_policy. Off at base shapes (towers are cheap
+    # there; remat would cost step time for nothing).
+    tower_gradient_checkpoint: bool = False
     # scan over transformer layers (compile 1 layer body instead of N).
     # Param layout: stacked [L, ...] under 'layers'; checkpoint IO converts
     # to/from the reference's per-layer naming.
@@ -104,6 +113,16 @@ class ModelConfig:
     seq_shard_axis: Optional[str] = None
     pipeline_axis: Optional[str] = None
     pipeline_microbatches: int = 2
+    # Shard the MODALITY TOWERS' row dim (B x segments for vision,
+    # B x segments x subsegments for audio, B x spans for the span tower)
+    # over this mesh axis IN ADDITION to the batch axes. Segments are
+    # independent rows in every tower, so this is pure data parallelism
+    # over an otherwise tower-idle axis — seq_shard_axis/ring shards only
+    # the JOINT tower's sequence, which leaves each sp shard holding the
+    # full per-example tower activations (measured: a dp2 x sp2 ring
+    # layout still needs 22.2G/chip at 80 segments because of exactly
+    # this). Typically set to the same axis as seq_shard_axis ("sp").
+    segment_shard_axis: Optional[str] = None
 
     def __post_init__(self):
         assert self.hidden_size % self.size_per_head == 0

@@ -59,6 +59,10 @@ class MerlotReserve(nn.Module):
             rotary_sign_quirk=cfg.rotary_sign_quirk,
             scan_layers=cfg.scan_layers,
             scan_unroll=cfg.scan_unroll,
+            # towers remat on their own flag (the joint tower uses
+            # gradient_checkpoint below) — the long-video memory lever
+            remat=cfg.tower_gradient_checkpoint,
+            remat_policy=cfg.gradient_checkpoint_policy,
         )
         self.vision_encoder = VisionTransformer(
             num_layers=cfg.vit_num_layers,
@@ -88,6 +92,7 @@ class MerlotReserve(nn.Module):
             **common,
         )
         joint_kwargs = dict(common)
+        del joint_kwargs["remat"], joint_kwargs["remat_policy"]  # joint's own below
         if cfg.joint_attention_impl is not None:
             joint_kwargs["attention_impl"] = cfg.joint_attention_impl
         self.joint_transformer = TransformerEncoder(

@@ -72,8 +72,17 @@ class MerlotReservePretrainer(MerlotReserve):
         num_segments = num_segments_nvpatch0 // patches_per_frame
         segs_per_group = num_segments // data.num_segment_groups
 
-        vision = self.vision_encoder(batch["images"].reshape(
-            (B * num_segments, patches_per_frame, patch_dim)))
+        # segment sharding (long-video): tower rows are independent, so the
+        # [B*segments, ...] dim can shard over segment_shard_axis in
+        # addition to dp — without it a dp x sp mesh replicates the tower
+        # work+saves per sp shard (parallel/mesh.py::rows_anchor)
+        from merlot_reserve_tpu.parallel.mesh import rows_anchor
+
+        seg_ax = self.config.segment_shard_axis
+
+        vision = self.vision_encoder(rows_anchor(batch["images"].reshape(
+            (B * num_segments, patches_per_frame, patch_dim)),
+            extra_axis=seg_ax))
         pooled_per_frame = patches_per_frame // (self.config.vit_pooling_ratio ** 2)
         # frames regrouped by segment group: each group's frames form the
         # vision context its token streams attend over
@@ -81,9 +90,9 @@ class MerlotReservePretrainer(MerlotReserve):
             [B, data.num_segment_groups, segs_per_group * pooled_per_frame,
              self.hidden_size])
 
-        audio = self.audio_encoder(batch["audio_clips"].reshape(
+        audio = self.audio_encoder(rows_anchor(batch["audio_clips"].reshape(
             (B * num_segments * data.num_audio_subsegments,
-             self.audio_seq_length, -1)))
+             self.audio_seq_length, -1)), extra_axis=seg_ax))
         num_audio_spans = num_segments * data.num_audio_subsegments
         audio_span_tokens = audio["seq_attnpool"].reshape(
             [B, num_audio_spans, self.audio_token_length, self.hidden_size])
@@ -377,12 +386,14 @@ class MerlotReservePretrainer(MerlotReserve):
         span_valid = flat["text_spans"][drawn] != PADDING
         if not self.is_initializing():
             # the global top-k gather erases row provenance; re-anchor the
-            # drawn rows to dp so the span tower's compute shards cleanly
-            # (the gather itself is the only resharding left — tiny)
-            from merlot_reserve_tpu.parallel.mesh import dp_anchor
+            # drawn rows to dp (+ segment_shard_axis — span rows are as
+            # independent as segments) so the span tower's compute shards
+            # cleanly (the gather itself is the only resharding left — tiny)
+            from merlot_reserve_tpu.parallel.mesh import rows_anchor
 
-            drawn_states, span_x, span_valid = dp_anchor(
-                drawn_states, span_x, span_valid)
+            drawn_states, span_x, span_valid = rows_anchor(
+                drawn_states, span_x, span_valid,
+                extra_axis=self.config.segment_shard_axis)
         span_targets = self.span_encoder(x=span_x, x_isvalid=span_valid)
         return drawn_states, span_targets, drawn_sources
 

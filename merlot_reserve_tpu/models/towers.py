@@ -7,7 +7,7 @@ because they are already the TPU-shaped choices.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -35,6 +35,12 @@ class VisionTransformer(nn.Module):
     rotary_sign_quirk: bool = True
     scan_layers: bool = False
     scan_unroll: int = 1
+    # long-video lever (ModelConfig.tower_gradient_checkpoint): at many
+    # segments/video the scan-stacked per-layer saves of THIS tower
+    # ([layers, B*segments, 241, ...]) dominate step HBM, not the joint
+    # tower (measured: 14G of the 21.3G 80-segment OOM, BASELINE.md)
+    remat: bool = False
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -56,6 +62,7 @@ class VisionTransformer(nn.Module):
             rotary_sign_quirk=self.rotary_sign_quirk,
             scan_layers=self.scan_layers,
             scan_unroll=self.scan_unroll,
+            remat=self.remat, remat_policy=self.remat_policy,
             name="transformer")(x, rotary_coords=coords)
 
         # pooling_ratio x pooling_ratio window attention-pool with mean query
@@ -94,6 +101,8 @@ class AudioTransformer(nn.Module):
     rotary_sign_quirk: bool = True
     scan_layers: bool = False
     scan_unroll: int = 1
+    remat: bool = False
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -117,6 +126,7 @@ class AudioTransformer(nn.Module):
             rotary_sign_quirk=self.rotary_sign_quirk,
             scan_layers=self.scan_layers,
             scan_unroll=self.scan_unroll,
+            remat=self.remat, remat_policy=self.remat_policy,
             name="transformer")(x, rotary_coords=coords)
 
         assert seq_len % self.pooling_ratio == 0
@@ -144,6 +154,8 @@ class SpanTransformer(nn.Module):
     rotary_sign_quirk: bool = True
     scan_layers: bool = False
     scan_unroll: int = 1
+    remat: bool = False
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, x_isvalid):
@@ -160,6 +172,7 @@ class SpanTransformer(nn.Module):
             rotary_sign_quirk=self.rotary_sign_quirk,
             scan_layers=self.scan_layers,
             scan_unroll=self.scan_unroll,
+            remat=self.remat, remat_policy=self.remat_policy,
             name="transformer")(x, is_valid=x_isvalid, rotary_coords=coords)
         return t_out["cls"]
 

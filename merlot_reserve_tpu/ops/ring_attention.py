@@ -350,7 +350,8 @@ def ulysses_attention(q, k, v, is_valid, segment_ids, axis_name: str = "sp",
 
 def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
                                 axis_name: str = "sp", impl: str = "lax",
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                tp_heads: bool = None):
     """Array-level wrapper: shards the sequence dim of global [B, L, H, D]
     inputs over ``axis_name`` and runs ring attention under shard_map.
 
@@ -361,6 +362,15 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
     VMEM-bounded shard size), or 'ulysses' / 'ulysses-flash' (all_to_all
     head sharding, differentiable with either inner; needs
     num_heads % n == 0).
+
+    tp_heads: whether q/k/v arrive head-sharded over a 'tp' mesh axis
+    (Megatron QKV). Default ``None`` auto-enables it whenever the mesh has
+    a tp axis that divides num_heads — correct for every layout this
+    package's param_shardings produce (tp>1 always Megatron-shards the QKV
+    kernels). Callers driving this op directly with REPLICATED q/k/v on a
+    tp mesh should pass ``tp_heads=False``: the auto head spec would split
+    heads at entry and all-gather the output at exit, adding boundary
+    collectives in exchange for computing only H/tp heads per shard.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -388,10 +398,14 @@ def sequence_parallel_attention(mesh, q, k, v, is_valid=None, segment_ids=None,
     # and the output stays head-sharded for the row-parallel attn_proj.
     # Leaving it unnamed would all-gather the heads at the boundary and
     # compute every head redundantly per tp shard.
-    hax = None
     tp_n = mesh.shape.get("tp", 1)
-    if tp_n > 1 and H % tp_n == 0 and axis_name != "tp":
-        hax = "tp"
+    if tp_heads is None:
+        tp_heads = tp_n > 1 and H % tp_n == 0 and axis_name != "tp"
+    elif tp_heads:
+        assert tp_n > 1 and H % tp_n == 0 and axis_name != "tp", (
+            f"tp_heads=True needs a tp mesh axis dividing num_heads={H} "
+            f"(tp={tp_n}) distinct from axis_name={axis_name!r}")
+    hax = "tp" if tp_heads else None
     qkv_spec = P(bax, axis_name, hax, None)
     lbl_spec = P(bax, axis_name)
 

@@ -24,6 +24,7 @@ _NONREMAT_TENSORS = 10.0  # saved seq-major tensors per layer, no remat
 _REMAT_TENSORS = 19.0   # effective saved tensors per layer under nn.scan+remat
 _GSPMD_SP_PENALTY = 1.4  # whole-step cost of seq_shard_axis GSPMD sharding
 _PP_STREAM_TENSORS = 18.0  # full-batch seq-major buffers the pipeline carries
+_CALIBRATED_MAX_SEGMENTS = 32  # beyond this: long-video regime, use AOT
 
 
 def param_count(cfg) -> int:
@@ -49,7 +50,9 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
                        zero1_dp: int = 1, pp: int = 1,
                        flash_joint: bool = False, sp: int = 1,
                        tp: int = 1, dcn: int = 1,
-                       sp_impl: str = "gspmd") -> Dict[str, float]:
+                       sp_impl: str = "gspmd",
+                       tower_remat: "bool | None" = None,
+                       segment_sp: int = 1) -> Dict[str, float]:
     """Per-chip HBM estimate (bytes) for one pretraining step.
 
     Calibrated (round 5) against the chipless-AOT ground truth: XLA's
@@ -93,6 +96,17 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
         log-sum-exp, negligible). Validated point: base batch-4 no-remat
         needs 31.9G with XLA dense attention (OOM) but RUNS with flash
         (BASELINE.md round-3 measurement).
+    :param tower_remat: ModelConfig.tower_gradient_checkpoint — the
+        vision/audio/span towers remat (the long-video lever: tower saves
+        scale with segments/video and dominate there — measured 80-segment
+        flash single-chip 21.29G OOM without vs 5.77G AOT with, BASELINE.md
+        "long-video recipe"). Default None follows ``remat`` — the 13-row
+        AOT calibration predates the knob and was fit with that coupling;
+        pass the truthful value for long-video planning (at base shapes the
+        tower terms are small either way).
+    :param segment_sp: ModelConfig.segment_shard_axis shard count — tower
+        rows (B x segments etc.) shard over this many ways IN ADDITION to
+        dp, dividing the tower activation terms.
     :return: breakdown dict incl. 'total'. Compare against ~15.75e9 usable
         on a v5e (16G minus runtime reserves).
 
@@ -163,14 +177,17 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
     # probabilities rows * heads * S * S on the XLA path.
     heads = h // m.size_per_head
 
-    def tower_act(rows, seq, layers, flash=False):
+    def tower_act(rows, seq, layers, flash=False, do_remat=None):
         # ~10 seq-major bf16 tensors per layer + the materialized attention
         # probabilities, which XLA keeps f32 on the softmax path (absent
         # entirely on the flash path). Returned separately: the probs
         # allocations carry their own softmax-temp overhead coefficient.
+        # do_remat: None = the joint tower's global `remat`; the modality
+        # towers pass tower_remat (separate knob since round 5).
+        do_remat = remat if do_remat is None else do_remat
         probs = 0.0 if flash else 4 * (rows * heads * seq * seq)
         per_layer = 2 * (_NONREMAT_TENSORS * rows * seq * h)
-        if remat:
+        if do_remat:
             # remat's real saving is the attention-probability buffers
             # (probs -> 0 below); the seq-major side barely shrinks and is
             # FIT larger than the non-remat count — under nn.scan + nn.remat
@@ -192,12 +209,17 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
         act += t[0]
         probs_act += t[1]
 
-    add(tower_act(B * d.num_segments, m.vit_seq_len + 1, m.vit_num_layers))
-    add(tower_act(B * d.num_segments * d.num_audio_subsegments,
+    seg_sp = max(segment_sp, 1)
+    if tower_remat is None:
+        tower_remat = remat  # legacy coupling the calibration was fit with
+    add(tower_act(B * d.num_segments / seg_sp, m.vit_seq_len + 1,
+                  m.vit_num_layers, do_remat=tower_remat))
+    add(tower_act(B * d.num_segments * d.num_audio_subsegments / seg_sp,
                   m.audio_seq_length // m.audio_patch_size + 1,
-                  m.audio_num_layers))
-    add(tower_act(B * d.num_text_spans_to_include, m.text_span_length + 1,
-                  m.span_num_layers))
+                  m.audio_num_layers, do_remat=tower_remat))
+    add(tower_act(B * d.num_text_spans_to_include / seg_sp,
+                  m.text_span_length + 1,
+                  m.span_num_layers, do_remat=tower_remat))
     joint_rows = B * (d.num_segment_groups * (d.num_audio2text_seqs
                                               + d.num_text2audio_seqs)
                       + 1 + d.num_text_seqs)
@@ -232,7 +254,7 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
         # measured whole-step penalty at sp=2 (base 13.36 vs dp8's 8.90,
         # large-remat 20.56 vs 13.41); scaling beyond sp=2 is uncalibrated
         total *= _GSPMD_SP_PENALTY
-    return {
+    out = {
         "params": float(P),
         "state_bytes": float(state),
         "step_transient_bytes": float(step_transients),
@@ -240,6 +262,25 @@ def estimate_train_hbm(cfg, batch_size: int, remat: bool = False,
         "activation_bytes": float(act + probs_act),
         "total": float(total),
     }
+    # Long-video regime guard (round 5, measured): every calibration point
+    # has <= 16 segments/video. At 80 segments the analytic model misses in
+    # BOTH directions — XLA's tower-buffer reuse collapses when the
+    # [layers, B*segments, seq, ...] scan stacks get large (measured ~34
+    # saved h-units/layer vs the <=16-segment regime's ~10: flash no-remat
+    # predicted 16.1 vs 30.9 G measured, the DANGEROUS direction), while
+    # with tower_remat the model over-predicts ~2-3x (conservative).
+    # Chipless AOT is the planner for this regime: exact, minutes, no chip
+    # (scripts/pod_readiness.py --layouts longvideo; BASELINE.md
+    # "long-video recipe" has the recipe + all six measured points).
+    if d.num_segments > _CALIBRATED_MAX_SEGMENTS:
+        out["uncalibrated_regime"] = (
+            f"num_segments={d.num_segments} > calibrated max "
+            f"{_CALIBRATED_MAX_SEGMENTS}: analytic estimate unreliable "
+            "(misses up to ~2x either direction at 80 segments, "
+            "BASELINE.md 'long-video recipe') — plan long-video shapes "
+            "with chipless AOT: scripts/pod_readiness.py --layouts "
+            "longvideo, or the aot recipe in docs/PARALLELISM.md")
+    return out
 
 
 def fits_v5e(cfg, batch_size: int, remat: bool = False,

@@ -142,6 +142,40 @@ def dp_anchor(*arrays):
     return out if len(out) > 1 else out[0]
 
 
+def rows_anchor(*arrays, extra_axis: Optional[str] = None):
+    """:func:`dp_anchor` plus one extra mesh axis on dim 0.
+
+    For row-major tensors whose dim 0 is (batch x per-example rows) — the
+    modality-tower inputs at [B*segments, ...] — the rows are INDEPENDENT
+    (towers never mix segments), so dim 0 can shard over the batch axes AND
+    an otherwise tower-idle axis like ``sp``. This is the long-video memory
+    fix (ModelConfig.segment_shard_axis): joint-sequence sharding alone
+    leaves every sp shard holding the full per-example tower activations,
+    which dominate at many segments/video (BASELINE.md "long-video
+    recipe"). Falls back to :func:`dp_anchor` when ``extra_axis`` is None,
+    absent from the mesh, size 1, or does not divide dim 0 together with
+    the batch axes; no-op without an active mesh."""
+    mesh = current_mesh()
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    n = mesh.shape.get(extra_axis, 1) if extra_axis else 1
+    if n <= 1 or extra_axis == "dp":
+        return dp_anchor(*arrays)
+    dp = dp_size(mesh)
+    bax = batch_axes(mesh)
+    parts = (list(bax) if isinstance(bax, tuple)
+             else ([bax] if bax else [])) + [extra_axis]
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(tuple(parts))
+    out = tuple(
+        jax.lax.with_sharding_constraint(a, spec)
+        if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] % (dp * n) == 0)
+        else (dp_anchor(a) if hasattr(a, "ndim") else a)
+        for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 @contextlib.contextmanager
 def activate_mesh(mesh: Mesh):
     """Make ``mesh`` the ambient mesh for tracing/execution.

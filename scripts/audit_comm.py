@@ -14,6 +14,9 @@ pmap calls (SURVEY.md §2.13) with no way to inspect the lowering.
 Examples:
   python scripts/audit_comm.py base --dp 4 --batch 4 --tiny
   python scripts/audit_comm.py base --dp 2 --sp 2 --ring --tiny
+  # long-video (VERDICT r4 item 7): full-base bytes at joint seq 2560
+  python scripts/audit_comm.py base --dp 2 --sp 2 --impl ring --segments 80
+  python scripts/audit_comm.py base --dp 2 --sp 2 --impl ulysses --segments 80
 """
 
 import argparse
@@ -35,6 +38,14 @@ def main():
                     help="global batch (default: dp)")
     ap.add_argument("--ring", action="store_true",
                     help="joint_attention_impl='ring' over the sp axis")
+    ap.add_argument("--impl", default=None,
+                    help="joint_attention_impl for sp>1 layouts (e.g. "
+                         "'ring', 'ring:flash', 'ulysses', 'ulysses:flash');"
+                         " --ring is shorthand for --impl ring")
+    ap.add_argument("--segments", type=int, default=None,
+                    help="long-video mode: scale DATA shapes to an "
+                         "N-segment video (same seq math as "
+                         "scripts/bench_train.py --segments)")
     ap.add_argument("--no-zero1", action="store_true",
                     help="replicate optimizer state instead of dp-sharding")
     ap.add_argument("--tiny", action="store_true",
@@ -71,11 +82,20 @@ def main():
         cfg = cfg.replace_data(num_segments=4, num_segment_groups=2,
                                seq_len=80, lang_seq_len=40,
                                num_text_spans_to_include=8)
+    if args.segments is not None:
+        # long-video DATA scaling — same seq math as bench_train --segments
+        d, m = cfg.data, cfg.model
+        per_seg = (m.output_grid[0] * m.output_grid[1]) // (m.vit_pooling_ratio ** 2)
+        seq = d.lang_seq_len + (args.segments // d.num_segment_groups) * per_seg
+        cfg = cfg.replace_data(num_segments=args.segments, seq_len=seq)
+        print(f"# long-video: {args.segments} segments -> joint seq {seq}",
+              file=sys.stderr)
+    impl = args.impl or ("ring" if args.ring else None)
     model_kw = {}
     if args.sp > 1:
         model_kw["seq_shard_axis"] = "sp"
-        if args.ring:
-            model_kw["joint_attention_impl"] = "ring"
+        if impl:
+            model_kw["joint_attention_impl"] = impl
     if args.pp > 1:
         model_kw["pipeline_axis"] = "pp"
     if model_kw:
@@ -84,8 +104,10 @@ def main():
 
     batch_size = args.batch or args.dp
     model = MerlotReservePretrainer.from_config(cfg)
-    batch = make_dummy_batch(cfg, batch_size=batch_size, seed=0,
-                             num_text_spans=16)
+    batch = make_dummy_batch(
+        cfg, batch_size=batch_size, seed=0,
+        num_text_spans=(16 if args.tiny else
+                        cfg.data.num_text_spans_to_include))
     params = model.init_params(batch)
     state = construct_train_state(cfg.optimizer, model, params)
 
@@ -97,7 +119,9 @@ def main():
     summary = collective_summary(step_fn, state, bd, mesh=mesh)
     summary["layout"] = {"dp": args.dp, "tp": args.tp, "sp": args.sp,
                          "pp": args.pp, "batch": batch_size,
-                         "tiny": args.tiny, "ring": args.ring,
+                         "tiny": args.tiny, "impl": impl,
+                         "segments": args.segments,
+                         "seq_len": cfg.data.seq_len,
                          "zero1": not args.no_zero1}
     print(json.dumps(summary))
 

@@ -3,7 +3,8 @@ scripts/bench_reference_train.py (chained lax.scan of train steps inside
 one jit; per-step = (t(N)-t(1))/(N-1); best-of-3 timings): full base
 config, all four streams, bf16-Adam.
 
-Usage: python scripts/bench_train.py [--remat] [--remat_policy=dots_saveable] [batch ...]
+Usage: python scripts/bench_train.py [--remat] [--tower_remat]
+           [--remat_policy=dots_saveable] [batch ...]
 
 Long-video mode (round 5, VERDICT item 7): ``--segments=N`` scales the
 DATA shapes to an N-segment video — joint seq becomes
@@ -28,6 +29,7 @@ import numpy as np
 def main():
     args = [a for a in sys.argv[1:]]
     remat = "--remat" in args
+    tower_remat = "--tower_remat" in args
     unroll = "--unroll" in args
     scan_unroll = 1
     config_name = "base"
@@ -69,6 +71,7 @@ def main():
 
     cfg = mr.load_config(config_name, gradient_checkpoint=remat,
                          gradient_checkpoint_policy=remat_policy,
+                         tower_gradient_checkpoint=tower_remat,
                          scan_layers=not unroll, scan_unroll=scan_unroll,
                          joint_attention_impl=joint_attn,
                          **({"attention_impl": tower_attn} if tower_attn
@@ -142,7 +145,8 @@ def main():
             "value": round(segs, 1), "unit": "segments/s/chip",
             "per_chip_batch": bsz, "step_ms": round(step_s * 1e3, 1),
             "config": config_name,
-            "remat": remat, "remat_policy": remat_policy,
+            "remat": remat, "tower_remat": tower_remat,
+            "remat_policy": remat_policy,
             "scan_layers": not unroll,
             "scan_unroll": scan_unroll, "joint_attn": joint_attn,
             "mfu": round(mfu, 4) if mfu else None,

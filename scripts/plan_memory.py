@@ -37,6 +37,20 @@ def main():
                          "(no materialized attention probs)")
     ap.add_argument("--hbm-gb", type=float, default=15.75,
                     help="usable HBM per chip (v5e default)")
+    ap.add_argument("--segments", type=int, default=None,
+                    help="long-video mode: scale DATA shapes to an "
+                         "N-segment video (same seq math as bench_train "
+                         "--segments). NOTE: >32 segments is outside the "
+                         "planner's calibrated regime — it will say so and "
+                         "point at the chipless-AOT recipe")
+    ap.add_argument("--tower-remat", action="store_const", const=True,
+                    default=None,
+                    help="ModelConfig.tower_gradient_checkpoint (the "
+                         "long-video memory lever). Omitted = the legacy "
+                         "calibration coupling (towers follow --remat)")
+    ap.add_argument("--segment-sp", type=int, default=1,
+                    help="ModelConfig.segment_shard_axis shard count "
+                         "(tower rows shard over sp too)")
     args = ap.parse_args()
 
     import jax
@@ -47,21 +61,36 @@ def main():
     from merlot_reserve_tpu.parallel.memory import estimate_train_hbm
 
     cfg = mr.load_config(args.config)
+    if args.segments is not None:
+        d, m = cfg.data, cfg.model
+        per_seg = (m.output_grid[0] * m.output_grid[1]) // (m.vit_pooling_ratio ** 2)
+        cfg = cfg.replace_data(
+            num_segments=args.segments,
+            seq_len=d.lang_seq_len + (args.segments // d.num_segment_groups) * per_seg)
+
     budget = args.hbm_gb * 1e9
     for b in args.batch:
         e = estimate_train_hbm(cfg, b, remat=args.remat,
                                zero1_dp=args.zero1_dp, pp=args.pp,
-                               flash_joint=args.flash_joint, sp=args.sp)
-        print(json.dumps({
+                               flash_joint=args.flash_joint, sp=args.sp,
+                               tower_remat=args.tower_remat,
+                               segment_sp=args.segment_sp)
+        rec = {
             "config": args.config, "per_chip_batch": b,
             "remat": args.remat, "zero1_dp": args.zero1_dp, "pp": args.pp,
             "sp": args.sp, "flash_joint": args.flash_joint,
+            "tower_remat": args.tower_remat, "segment_sp": args.segment_sp,
             "params_m": round(e["params"] / 1e6, 1),
             "state_gb": round(e["state_bytes"] / 1e9, 2),
             "activations_gb": round(e["activation_bytes"] / 1e9, 2),
             "total_gb": round(e["total"] / 1e9, 2),
             "fits": bool(e["total"] <= budget),
-        }), flush=True)
+        }
+        if "uncalibrated_regime" in e:
+            rec["WARNING"] = e["uncalibrated_regime"]
+        print(json.dumps(rec), flush=True)
+        if "uncalibrated_regime" in e:
+            print(f"WARNING: {e['uncalibrated_regime']}", file=sys.stderr)
 
 
 if __name__ == "__main__":

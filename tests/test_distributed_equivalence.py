@@ -107,6 +107,29 @@ def test_dcn2_dp2_sp2_matches_single_device(setup, cpu_devices):
         assert abs(float(m1[k]) - float(msp[k])) < 1e-4, (k, m1[k], msp[k])
 
 
+def test_dp2_sp2_segment_shard_tower_remat_matches_single_device(
+        setup, cpu_devices):
+    """Long-video memory levers (round 5): segment_shard_axis shards the
+    modality towers' row dim (B x segments etc.) over sp — towers never mix
+    rows, so this is pure data parallelism over an otherwise tower-idle
+    axis — and tower_gradient_checkpoint remats the towers. Both are
+    memory-only knobs: the step must reproduce the single-device result.
+    (Measured effect: 80-segment single-chip 21.3G OOM -> 5.8G fit,
+    BASELINE.md 'long-video recipe'.)"""
+    cfg, model, params, batch = setup
+    m1, _ = _one_step(cfg, model, params, batch,
+                      make_mesh(dp=1, tp=1, devices=cpu_devices[:1]), False)
+    cfg_seg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, seq_shard_axis="sp",
+                                       segment_shard_axis="sp",
+                                       tower_gradient_checkpoint=True))
+    model_seg = type(model).from_config(cfg_seg)
+    mseg, _ = _one_step(cfg_seg, model_seg, params, batch,
+                        make_mesh(dp=2, sp=2, devices=cpu_devices[:4]), True)
+    for k in m1:
+        assert abs(float(m1[k]) - float(mseg[k])) < 1e-4, (k, m1[k], mseg[k])
+
+
 def test_dcn2_pp2_matches_single_device(setup, cpu_devices):
     """dcn x pp composition (support-matrix cell): the pipelined joint stack
     under a 2-slice mesh — stage ppermutes ride the intra-slice axes; only

@@ -84,3 +84,53 @@ def test_aot_ground_truth_within_25pct():
         err = abs(got - r["measured_gib"]) / r["measured_gib"]
         assert err <= 0.25, (r["name"], round(got, 2), r["measured_gib"],
                              round(err, 3))
+
+
+def _longvideo_cfg(segments=80):
+    cfg = mr.load_config("base")
+    d, m = cfg.data, cfg.model
+    per_seg = (m.output_grid[0] * m.output_grid[1]) // (m.vit_pooling_ratio ** 2)
+    return cfg.replace_data(
+        num_segments=segments,
+        seq_len=d.lang_seq_len + (segments // d.num_segment_groups) * per_seg)
+
+
+def test_longvideo_regime_guard_and_safe_classifications():
+    """Round 5: the long-video measurement campaign (BASELINE.md 'long-video
+    recipe') showed the analytic model's tower terms do not extrapolate past
+    the calibrated <=16-segment regime (XLA's tower-buffer reuse collapses
+    when the scan stacks get large). The planner must (a) say so, and (b)
+    still classify the measured no-tower-remat OOM points correctly — the
+    direction an operator would be burned by."""
+    cfg = _longvideo_cfg(80)
+    line = 15.75e9
+
+    e = estimate_train_hbm(cfg, 1, remat=False, tower_remat=False)
+    assert "uncalibrated_regime" in e
+    assert e["total"] > line  # measured 51.55G OOM (relay, BASELINE.md)
+
+    e = estimate_train_hbm(cfg, 1, remat=False, tower_remat=False,
+                           flash_joint=True)
+    assert e["total"] > line  # measured 30.90G OOM
+
+    e = estimate_train_hbm(cfg, 1, remat=True, tower_remat=False)
+    assert e["total"] > line  # measured 22.88G OOM
+
+    e = estimate_train_hbm(cfg, 1, remat=True, tower_remat=False,
+                           flash_joint=True)
+    assert e["total"] > line  # measured 21.29G OOM
+
+    # inside the calibrated regime: no warning
+    assert "uncalibrated_regime" not in estimate_train_hbm(
+        mr.load_config("base"), 1)
+
+
+def test_longvideo_tower_knobs_direction():
+    """tower_remat and segment_sp must both REDUCE the estimate (the
+    directions are what plan_memory sorts layouts by, even where the
+    absolute long-video numbers defer to AOT)."""
+    cfg = _longvideo_cfg(80)
+    e = lambda **kw: estimate_train_hbm(cfg, 1, **kw)["total"]
+    assert e(remat=True, tower_remat=True) < e(remat=True, tower_remat=False)
+    assert (e(remat=True, tower_remat=True, sp=2, sp_impl="ring", segment_sp=2)
+            < e(remat=True, tower_remat=True, sp=2, sp_impl="ring"))

@@ -111,3 +111,15 @@ def test_remat_policy_through_pretrainer_config():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=2e-5), g0, g1)
+
+    # tower remat (round 5, the long-video lever): remats the vision/audio/
+    # span towers too — still grad-exact vs no-remat
+    cfg2 = mr.load_config("base", gradient_checkpoint=True,
+                          tower_gradient_checkpoint=True, **kw)
+    cfg2 = cfg2.replace_data(num_segments=4, seq_len=80, lang_seq_len=40,
+                             num_text_spans_to_include=8)
+    m2 = MerlotReservePretrainer.from_config(cfg2)
+    l2, g2 = jax.value_and_grad(lambda p: loss(m2, p))(params)
+    np.testing.assert_allclose(float(l0), float(l2), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=2e-5), g0, g2)

@@ -331,6 +331,22 @@ def test_ring_tp_sharded_heads(cpu_devices):
     body_q = shmaps[0].params["jaxpr"].invars[0].aval.shape
     assert tuple(body_q) == (B // 2, L // 2, H // 2, D), body_q
 
+    # tp_heads=False override (advisor r4): a caller whose q/k/v are NOT
+    # Megatron-sharded opts out of the head split — the body sees all H
+    # heads (replicated over tp, no entry-split/exit-gather collectives)
+    # and the result is unchanged
+    out_rep = sequence_parallel_attention(mesh, q, k, v, valid, segs,
+                                          tp_heads=False)
+    np.testing.assert_allclose(np.asarray(out_rep) * mask,
+                               np.asarray(out_full) * mask, atol=2e-5)
+    jaxpr2 = jax.make_jaxpr(
+        lambda q_, k_, v_: sequence_parallel_attention(
+            mesh, q_, k_, v_, valid, segs, tp_heads=False))(q, k, v)
+    shmaps2 = [e for e in _walk_jaxpr_eqns(jaxpr2.jaxpr)
+               if e.primitive.name == "shard_map"]
+    body_q2 = shmaps2[0].params["jaxpr"].invars[0].aval.shape
+    assert tuple(body_q2) == (B // 2, L // 2, H, D), body_q2
+
 
 def test_ulysses_tp_sharded_heads(cpu_devices):
     """tp x ulysses: local heads (H/tp) split again over the sp axis by the
